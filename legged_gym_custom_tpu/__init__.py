@@ -1,0 +1,32 @@
+"""legged_gym_custom_tpu — a TPU-native legged-robot RL + MPC framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+JustinMLu/legged_gym_custom ("ARCAD Gym"): batched articulated rigid-body
+physics (replacing Isaac Gym/PhysX), curriculum terrain generation, the Go2 /
+ANYmal / Cassie task family with ROA adaptation + state estimation + scandot
+perception, a pure-JAX PPO/DAgger trainer sharded over TPU meshes, and a
+deploy stack (param export, numpy controller, MuJoCo sim-to-sim oracle).
+
+Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
+  scripts/   CLI entry points (train/play)           <- reference legged_gym/scripts
+  utils/     task registry, configclass, logging     <- reference legged_gym/utils
+  rl/        PPO+ROA+DAgger runner (pure JAX)        <- reference rsl_rl
+  models/    Flax networks (actor-critic, encoders)  <- reference rsl_rl/modules
+  envs/      pure-functional vectorized envs         <- reference legged_gym/envs
+  terrain/   heightfield composer + primitives       <- reference legged_gym/utils/terrain*.py
+  physics/   batched Featherstone + contact engine   <- replaces Isaac Gym (C++/CUDA)
+  ops/       Pallas TPU kernels for hot paths
+  parallel/  mesh/sharding helpers (pjit/shard_map)
+  deploy/    export + 50 Hz controller + MuJoCo loop <- reference deploy/
+"""
+
+__version__ = "0.1.0"
+
+import os
+
+LEGGED_GYM_TPU_ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Robot assets (URDF etc.) are read from the reference resources tree when
+# available; consumers may override via the LEGGED_GYM_RESOURCES env var.
+LEGGED_GYM_RESOURCES_DIR = os.environ.get(
+    "LEGGED_GYM_RESOURCES", "/root/reference/resources"
+)
