@@ -1,0 +1,16 @@
+"""Batched TPU-native physics engine (replaces Isaac Gym, SURVEY §2.4)."""
+from .algorithms import ModelArrays, aba, body_inertias, crba, model_arrays, rnea
+from .actuator import PDParams, compute_torques
+from .contact import ContactParams, compute_contacts
+from .engine import (
+    DomainRandParams,
+    PhysicsState,
+    SimParams,
+    StepInfo,
+    control_step,
+    link_states,
+    substep,
+)
+from .heightfield import Heightfield, from_raw, height_bilinear, height_min3, plane, surface
+from .model import RobotModel
+from .urdf import load_urdf

@@ -39,6 +39,9 @@ class ModelArrays(NamedTuple):
     geom_pos: jnp.ndarray
     geom_radius: jnp.ndarray
     geom_link: jnp.ndarray
+    link_body: jnp.ndarray
+    link_pos: jnp.ndarray
+    n_links: int
 
     @property
     def nb(self) -> int:
@@ -58,6 +61,9 @@ def model_arrays(model: RobotModel, dtype=jnp.float32) -> ModelArrays:
         geom_pos=jnp.asarray(model.geom_pos, dtype),
         geom_radius=jnp.asarray(model.geom_radius, dtype),
         geom_link=jnp.asarray(model.geom_link, jnp.int32),
+        link_body=jnp.asarray(model.link_body, jnp.int32),
+        link_pos=jnp.asarray(model.link_pos, dtype),
+        n_links=model.n_links,
     )
 
 

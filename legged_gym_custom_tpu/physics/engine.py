@@ -1,0 +1,204 @@
+"""The batched physics engine: the TPU-native replacement for `gym.simulate`.
+
+One *control step* = `decimation` torque updates x `substeps` integrator
+substeps, mirroring the reference's 50 Hz policy / 200 Hz PD-and-physics loop
+(legged_robot.py:79-85, sim dt 0.005, decimation 4) — with optional extra
+substeps because the explicit penalty contact benefits from a smaller dt than
+PhysX's implicit TGS solver needed.
+
+Everything here is written single-env and `jax.vmap`-ed over the env batch by
+the caller (envs/base_env.py), then `pjit`/shard_map-sharded over the device
+mesh (parallel/mesh.py).  All loops over the decimation/substep axis are
+`lax.scan`s so XLA sees a single compiled program with static shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import spatial as sp
+from .algorithms import ModelArrays, aba, body_inertias, forward_kinematics
+from .actuator import PDParams, compute_torques
+from .contact import ContactOutput, ContactParams, compute_contacts
+from .heightfield import Heightfield
+
+
+class PhysicsState(NamedTuple):
+    """Per-env dynamic state (the analog of Isaac's root + dof state tensors).
+
+    Velocities are stored world-frame to match the reference's root_states
+    layout semantics (legged_robot.py:115-117): lin_vel/ang_vel world frame.
+    """
+
+    base_pos: jnp.ndarray   # (3,)
+    base_quat: jnp.ndarray  # (4,) wxyz, world<-body
+    lin_vel: jnp.ndarray    # (3,) world frame, at base origin
+    ang_vel: jnp.ndarray    # (3,) world frame
+    dof_pos: jnp.ndarray    # (ndof,)
+    dof_vel: jnp.ndarray    # (ndof,)
+
+
+class SimParams(NamedTuple):
+    dt: float = 0.005           # reference sim.dt (legged_robot_config.py:184)
+    decimation: int = 4         # torque updates per control step
+    substeps: int = 4           # integrator substeps per torque update
+    gravity: tuple = (0.0, 0.0, -9.81)
+    contact: ContactParams = ContactParams()
+    joint_limit_stiffness: float = 60.0   # [N m / rad] penalty beyond URDF limit
+    joint_limit_damping: float = 2.0
+    dof_vel_clamp: bool = True  # Isaac clamps dof velocities to URDF limits
+
+
+class DomainRandParams(NamedTuple):
+    """Per-env dynamics randomization (reference legged_robot.py:306-380).
+
+    These are dynamics *parameters* rather than baked asset properties, so the
+    privileged observation (go2.py:528-532) reads them directly.
+    """
+
+    friction: jnp.ndarray    # () shape friction coefficient
+    added_mass: jnp.ndarray  # () extra base mass [kg]
+    com_offset: jnp.ndarray  # (3,) base com shift [m]
+    kp_mult: jnp.ndarray     # (ndof,)
+    kd_mult: jnp.ndarray     # (ndof,)
+
+
+class StepInfo(NamedTuple):
+    link_forces: jnp.ndarray   # (n_links, 3) contact forces at final substep
+    link_pos: jnp.ndarray      # (n_links, 3) world positions of link frames
+    link_vel: jnp.ndarray      # (n_links, 3) world linear velocities
+    torques: jnp.ndarray       # (ndof,) last applied torques
+
+
+def _spatial_vbase(state: PhysicsState):
+    R = sp.quat_to_matrix(state.base_quat)
+    w_b = R.T @ state.ang_vel
+    u_b = R.T @ state.lin_vel
+    return jnp.concatenate([w_b, u_b])
+
+
+def _joint_limit_torque(params: SimParams, limits_lo, limits_hi, dof_pos, dof_vel):
+    below = jnp.minimum(dof_pos - limits_lo, 0.0)
+    above = jnp.maximum(dof_pos - limits_hi, 0.0)
+    viol = (below < 0) | (above > 0)
+    return -params.joint_limit_stiffness * (below + above) - jnp.where(
+        viol, params.joint_limit_damping * dof_vel, 0.0
+    )
+
+
+def substep(
+    ma: ModelArrays,
+    hf: Heightfield,
+    params: SimParams,
+    dr: DomainRandParams,
+    dof_limits: tuple,      # (lo (ndof,), hi (ndof,), vel (ndof,))
+    state: PhysicsState,
+    tau: jnp.ndarray,
+    dt: float,
+):
+    """One semi-implicit Euler integration substep. Returns (state', contacts)."""
+    v_base = _spatial_vbase(state)
+    E_up, p_up, E0, p0w, v_body = forward_kinematics(
+        ma, state.base_quat, state.base_pos, state.dof_pos, v_base, state.dof_vel
+    )
+    contacts = compute_contacts(
+        ma, hf, params.contact, dr.friction, E0, p0w, v_body
+    )
+    tau_total = tau + _joint_limit_torque(
+        params, dof_limits[0], dof_limits[1], state.dof_pos, state.dof_vel
+    )
+    inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
+    a0, qdd = aba(
+        ma,
+        inertias,
+        state.base_quat,
+        state.dof_pos,
+        v_base,
+        state.dof_vel,
+        tau_total,
+        f_ext=contacts.body_wrench,
+        gravity=params.gravity,
+    )
+    # semi-implicit Euler in the base frame
+    w_b = v_base[0:3] + a0[0:3] * dt
+    u_b = v_base[3:6] + a0[3:6] * dt
+    R = sp.quat_to_matrix(state.base_quat)
+    lin_vel = R @ u_b
+    ang_vel = R @ w_b
+    base_pos = state.base_pos + lin_vel * dt
+    base_quat = sp.quat_integrate(state.base_quat, w_b, dt)
+
+    dof_vel = state.dof_vel + qdd * dt
+    if params.dof_vel_clamp:
+        dof_vel = jnp.clip(dof_vel, -dof_limits[2], dof_limits[2])
+    dof_pos = state.dof_pos + dof_vel * dt
+
+    new_state = PhysicsState(base_pos, base_quat, lin_vel, ang_vel, dof_pos, dof_vel)
+    return new_state, contacts
+
+
+def link_states(ma: ModelArrays, state: PhysicsState):
+    """World positions and velocities of all report-link frames.
+
+    The analog of the reference's rigid_body_states view used for feet
+    (go2.py:136-143, 266-275).
+    """
+    v_base = _spatial_vbase(state)
+    E_up, p_up, E0, p0w, v_body = forward_kinematics(
+        ma, state.base_quat, state.base_pos, state.dof_pos, v_base, state.dof_vel
+    )
+    R_wb = jnp.stack([E0[i].T for i in range(ma.nb)])
+    p_w = jnp.stack(p0w)
+    w_b = jnp.stack([v_body[i][0:3] for i in range(ma.nb)])
+    u_b = jnp.stack([v_body[i][3:6] for i in range(ma.nb)])
+    Rl = R_wb[ma.link_body]
+    pos = p_w[ma.link_body] + jnp.einsum("lij,lj->li", Rl, ma.link_pos)
+    vel_b = u_b[ma.link_body] + jnp.cross(w_b[ma.link_body], ma.link_pos)
+    vel = jnp.einsum("lij,lj->li", Rl, vel_b)
+    return pos, vel
+
+
+def control_step(
+    ma: ModelArrays,
+    hf: Heightfield,
+    params: SimParams,
+    pd: PDParams,
+    dr: DomainRandParams,
+    dof_limits: tuple,
+    state: PhysicsState,
+    actions: jnp.ndarray,
+):
+    """Full 50 Hz control step: decimation x substeps with PD torque refresh.
+
+    Matches reference step() structure (legged_robot.py:79-85): torques are
+    recomputed from the *current* dof state at every decimation tick.
+    """
+    dt_sub = params.dt / params.substeps
+
+    def decim_body(carry, _):
+        st, _info = carry
+        tau = compute_torques(
+            pd, actions, st.dof_pos, st.dof_vel, dr.kp_mult, dr.kd_mult
+        )
+
+        def sub_body(st2, _):
+            st3, contacts = substep(ma, hf, params, dr, dof_limits, st2, tau, dt_sub)
+            return st3, contacts.link_force
+
+        st, link_forces = jax.lax.scan(
+            sub_body, st, None, length=params.substeps
+        )
+        return (st, (link_forces[-1], tau)), None
+
+    zero_info = (
+        jnp.zeros((ma.n_links, 3), dtype=state.base_pos.dtype),
+        jnp.zeros_like(actions),
+    )
+    (state, (link_forces, torques)), _ = jax.lax.scan(
+        decim_body, (state, zero_info), None, length=params.decimation
+    )
+    pos, vel = link_states(ma, state)
+    info = StepInfo(link_forces, pos, vel, torques)
+    return state, info

@@ -54,6 +54,8 @@ class RobotModel:
     geom_radius: np.ndarray       # (ng,)
     geom_link: np.ndarray         # (ng,) index into link_names (report group)
     link_names: List[str]         # original URDF link names w/ collision geoms
+    link_body: np.ndarray         # (n_links,) moving body index of each link
+    link_pos: np.ndarray          # (n_links,3) link-frame origin in body frame
     # --- metadata ---
     body_names: List[str]
     name: str = "robot"

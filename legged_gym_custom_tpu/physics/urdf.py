@@ -115,6 +115,8 @@ def load_urdf(path: str, name: str = "robot") -> RobotModel:
 
     geom_body, geom_pos, geom_radius, geom_link = [], [], [], []
     link_names: List[str] = []
+    link_body_l: List[int] = []
+    link_pos_l: List[np.ndarray] = []
 
     for lname, link in links.items():
         if lname not in link_pose:
@@ -145,6 +147,8 @@ def load_urdf(path: str, name: str = "robot") -> RobotModel:
         if cols:
             link_id = len(link_names)
             link_names.append(lname)
+            link_body_l.append(mb)
+            link_pos_l.append(p_bl)
             for col in cols:
                 o = col.find("origin")
                 xyz = _vec(o.get("xyz") if o is not None else None)
@@ -188,6 +192,8 @@ def load_urdf(path: str, name: str = "robot") -> RobotModel:
         geom_radius=np.array(geom_radius),
         geom_link=np.array(geom_link, dtype=np.int32),
         link_names=link_names,
+        link_body=np.array(link_body_l, dtype=np.int32),
+        link_pos=np.stack(link_pos_l) if link_pos_l else np.zeros((0, 3)),
         body_names=body_names,
         name=name,
     )

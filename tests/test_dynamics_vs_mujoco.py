@@ -34,19 +34,7 @@ def _x64():
 def setup():
     model = load_urdf(GO2_URDF, "go2")
     mjm = mujoco.MjModel.from_xml_string(model.to_mjcf())
-    ma = alg.ModelArrays(
-        parent=tuple(int(p) for p in model.parent),
-        joint_rot=jnp.asarray(model.joint_rot, jnp.float64),
-        joint_pos=jnp.asarray(model.joint_pos, jnp.float64),
-        joint_axis=jnp.asarray(model.joint_axis, jnp.float64),
-        mass=jnp.asarray(model.mass, jnp.float64),
-        com=jnp.asarray(model.com, jnp.float64),
-        inertia_com=jnp.asarray(model.inertia_com, jnp.float64),
-        geom_body=jnp.asarray(model.geom_body, jnp.int32),
-        geom_pos=jnp.asarray(model.geom_pos, jnp.float64),
-        geom_radius=jnp.asarray(model.geom_radius, jnp.float64),
-        geom_link=jnp.asarray(model.geom_link, jnp.int32),
-    )
+    ma = alg.model_arrays(model, jnp.float64)
     return model, mjm, ma
 
 
