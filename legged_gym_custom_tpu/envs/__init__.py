@@ -1,0 +1,37 @@
+"""Task family + registrations (reference legged_gym/envs/__init__.py:19-24)."""
+from legged_gym_custom_tpu.utils.task_registry import task_registry
+
+from .base_env import EnvState, LeggedEnv, Obs
+from .base_config import LeggedRobotCfg, LeggedRobotCfgPPO
+from .go2_env import Go2Env
+from .go2_config import Go2Cfg, Go2CfgPPO
+from .go2_parkour_config import (
+    Go2ParkourCfg,
+    Go2ParkourCfgPPO,
+    Go2ParkourFinetuneCfg,
+    Go2ParkourFinetuneCfgPPO,
+)
+
+task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
+task_registry.register("go2_parkour", Go2Env, Go2ParkourCfg, Go2ParkourCfgPPO)
+task_registry.register(
+    "go2_parkour_finetune", Go2Env, Go2ParkourFinetuneCfg, Go2ParkourFinetuneCfgPPO
+)
+
+
+def register_optional_tasks():
+    """ANYmal-C / Cassie tasks (registered lazily; assets must exist)."""
+    from .anymal_config import AnymalCRoughCfg, AnymalCRoughCfgPPO, AnymalCFlatCfg, AnymalCFlatCfgPPO
+    from .anymal_env import AnymalEnv
+    from .cassie_config import CassieCfg, CassieCfgPPO
+    from .cassie_env import CassieEnv
+
+    task_registry.register("anymal_c_rough", AnymalEnv, AnymalCRoughCfg, AnymalCRoughCfgPPO)
+    task_registry.register("anymal_c_flat", AnymalEnv, AnymalCFlatCfg, AnymalCFlatCfgPPO)
+    task_registry.register("cassie", CassieEnv, CassieCfg, CassieCfgPPO)
+
+
+try:
+    register_optional_tasks()
+except Exception:  # assets or configs not available yet
+    pass
