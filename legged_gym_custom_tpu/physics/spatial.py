@@ -132,7 +132,8 @@ def quat_apply_yaw(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     _, _, yaw = quat_to_rpy(q)
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
+    out = jnp.stack(jnp.broadcast_arrays(c * x - s * y, s * x + c * y, z), axis=-1)
+    return out
 
 
 def wrap_to_pi(angles: jnp.ndarray) -> jnp.ndarray:

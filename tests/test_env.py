@@ -1,0 +1,128 @@
+"""Env-level tests: shapes, layout, resets, rewards, terrain curriculum."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_gym_custom_tpu.envs import task_registry
+
+
+@pytest.fixture(scope="module")
+def go2_env():
+    env_cfg, _ = task_registry.get_cfgs("go2")
+    env_cfg.env.num_envs = 4
+    env = task_registry.get_task_class("go2")(env_cfg, env_cfg.asset.file, name="go2")
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset_all(key)
+    return env, state, obs
+
+
+def test_obs_shapes_go2(go2_env):
+    """Dimensions from SURVEY §2.3 / go2_config.py:6-22."""
+    env, state, obs = go2_env
+    B = 4
+    assert obs.obs.shape == (B, 572)
+    assert obs.privileged.shape == (B, 29)
+    assert obs.critic.shape == (B, 736)
+    assert obs.estimated.shape == (B, 3)
+    assert obs.scan.shape == (B, 132)
+
+
+def test_obs_layout_go2(go2_env):
+    """Current proprio occupies the LAST 52 entries; command slots match."""
+    env, state, obs = go2_env
+    cur = np.asarray(obs.obs[:, -52:])
+    # commands at [5:8] scaled by [2, 2, 0.25]
+    cmds = np.asarray(state.commands[:, :3])
+    np.testing.assert_allclose(
+        cur[:, 5:8], cmds * np.array([2.0, 2.0, 0.25]), atol=1e-5
+    )
+    # phase features at [44:52] are sin/cos pairs: sin^2 + cos^2 == 1
+    ph = cur[:, 44:52]
+    s2c2 = ph[:, 0::2] ** 2 + ph[:, 1::2] ** 2
+    np.testing.assert_allclose(s2c2, 1.0, atol=1e-5)
+
+
+def test_privileged_obs_contents(go2_env):
+    """Privileged stream = [mass 4, friction 1, kp-1 12, kd-1 12] (go2.py:528)."""
+    env, state, obs = go2_env
+    p = np.asarray(obs.privileged)
+    np.testing.assert_allclose(p[:, 0], np.asarray(state.dr.added_mass), atol=1e-6)
+    np.testing.assert_allclose(p[:, 1:4], np.asarray(state.dr.com_offset), atol=1e-6)
+    np.testing.assert_allclose(p[:, 4], np.asarray(state.dr.friction), atol=1e-6)
+    np.testing.assert_allclose(p[:, 5:17], np.asarray(state.dr.kp_mult) - 1, atol=1e-6)
+
+
+def test_critic_is_concat(go2_env):
+    env, state, obs = go2_env
+    cat = np.concatenate(
+        [obs.obs, obs.privileged, obs.estimated, obs.scan], axis=-1
+    )
+    np.testing.assert_allclose(np.asarray(obs.critic), np.clip(cat, -100, 100), atol=1e-6)
+
+
+def test_step_progresses_and_terminates(go2_env):
+    env, state, obs = go2_env
+    step = jax.jit(env.step)
+    # flip one robot upside down -> should terminate next step
+    ph = state.physics
+    flipped_quat = ph.base_quat.at[0].set(jnp.array([0.0, 1.0, 0.0, 0.0]))
+    state2 = state.replace(physics=ph._replace(base_quat=flipped_quat))
+    state3, obs3, rew, done, info = step(state2, jnp.zeros((4, 12)))
+    assert bool(done[0])
+    # reset env 0 got fresh episode_length
+    assert int(state3.episode_length[0]) == 0
+    # non-flipped envs keep counting
+    assert int(state3.episode_length[1]) > 0
+
+
+def test_timeout_flag(go2_env):
+    env, state, obs = go2_env
+    step = jax.jit(env.step)
+    state2 = state.replace(
+        episode_length=jnp.full_like(state.episode_length, env.max_episode_length)
+    )
+    _, _, _, done, info = step(state2, jnp.zeros((4, 12)))
+    assert bool(jnp.all(done))
+    assert bool(jnp.all(info["time_outs"]))
+
+
+def test_rewards_finite_and_positive_clipped(go2_env):
+    env, state, obs = go2_env
+    step = jax.jit(env.step)
+    st = state
+    for i in range(5):
+        acts = jax.random.normal(jax.random.PRNGKey(i), (4, 12))
+        st, _, rew, _, _ = step(st, acts)
+        r = np.asarray(rew)
+        assert np.isfinite(r).all()
+        assert (r >= 0).all()  # only_positive_rewards + termination=0
+
+
+def test_determinism(go2_env):
+    env, state, obs = go2_env
+    step = jax.jit(env.step)
+    a = jnp.ones((4, 12)) * 0.1
+    s1, o1, r1, d1, _ = step(state, a)
+    s2, o2, r2, d2, _ = step(state, a)
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_parkour_env_builds():
+    env_cfg, _ = task_registry.get_cfgs("go2_parkour")
+    env_cfg.env.num_envs = 2
+    env_cfg.terrain.num_rows = 3
+    env_cfg.terrain.num_cols = 2
+    env_cfg.terrain.border_size = 5
+    env = task_registry.get_task_class("go2_parkour")(
+        env_cfg, env_cfg.asset.file, name="go2_parkour"
+    )
+    state, obs = env.reset_all(jax.random.PRNGKey(1))
+    assert obs.scan.shape == (2, 132)
+    # scan obs should see real terrain (not all equal)
+    step = jax.jit(env.step)
+    for i in range(3):
+        state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
+    assert np.isfinite(np.asarray(obs.obs)).all()
+    assert "terrain_level" in info["episode"]
