@@ -1,0 +1,322 @@
+"""Training driver (reference rsl_rl/runners/on_policy_runner.py).
+
+One *iteration* = 24-step rollout (`lax.scan` over the env step + policy act)
+followed by either a PPO update or a DAgger update (every dagger_update_freq
+iterations, on_policy_runner.py:147,182-186).  The whole iteration is a single
+jitted function; with a multi-device mesh it runs under `shard_map` with the
+env batch sharded on the 'data' axis and parameters replicated, gradients
+pmean-reduced over ICI (SURVEY §2.5 TPU obligations).
+
+Logging keeps the reference's TensorBoard scalar names
+(on_policy_runner.py:221-239) and console block; checkpoints store model +
+*all three* optimizer states + iteration (fixing the reference quirk of
+dropping the adaptation/estimator optimizers, on_policy_runner.py:283-288).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legged_gym_custom_tpu.models.networks import ActorCriticNetworks
+from legged_gym_custom_tpu.parallel.mesh import make_mesh, shard_env_state
+from . import ppo as ppo_lib
+from .ppo import PPOConfig, Transition, TrainState
+
+
+class OnPolicyRunner:
+    def __init__(self, env, train_cfg, log_dir: Optional[str] = None,
+                 use_mesh: bool = True, writer=None):
+        self.env = env
+        self.cfg = train_cfg.runner
+        self.alg_cfg = train_cfg.algorithm
+        self.policy_cfg = train_cfg.policy
+        self.log_dir = log_dir
+        self.writer = writer
+
+        ecfg = env.cfg.env
+        self.nets = ActorCriticNetworks(
+            self.policy_cfg,
+            num_proprio=ecfg.num_proprio,
+            num_privileged_obs=ecfg.num_privileged_obs,
+            num_critic_obs=ecfg.num_critic_obs,
+            num_estimated_obs=ecfg.num_estimated_obs,
+            num_scan_obs=ecfg.num_scan_obs,
+            num_actions=ecfg.num_actions,
+            history_buffer_length=ecfg.history_buffer_length,
+        )
+        self.ppo_cfg = PPOConfig.from_cfg(self.alg_cfg, resume=self.cfg.resume)
+        self.dagger_update_freq = self.alg_cfg.dagger_update_freq
+        self.num_steps_per_env = self.cfg.num_steps_per_env
+        self.save_interval = self.cfg.save_interval
+
+        seed = getattr(train_cfg, "seed", 1)
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.train_state = ppo_lib.init_train_state(self.nets, self.ppo_cfg, init_key)
+
+        self.mesh = make_mesh(env.cfg.parallel) if use_mesh else None
+        self._build_train_fns()
+
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        self.current_learning_iteration = 0
+        self.env_state = None
+        self.obs = None
+
+    # ------------------------------------------------------------------
+    def _build_train_fns(self):
+        env = self.env
+        nets = self.nets
+        cfg = self.ppo_cfg
+        T = self.num_steps_per_env
+
+        def rollout(ts: TrainState, env_state, obs, key, adaptation_mode: bool):
+            def body(carry, _):
+                env_state, obs, key = carry
+                key, k_act = jax.random.split(key)
+                actions, log_prob, mu, sigma, values = ppo_lib.policy_act(
+                    nets, ts.params, obs, k_act, adaptation_mode
+                )
+                next_state, next_obs, rewards, dones, info = env.step(env_state, actions)
+                # time-out bootstrap (reference ppo.py:165-166)
+                rewards_b = rewards + cfg.gamma * values * info["time_outs"].astype(
+                    jnp.float32
+                )
+                tr = Transition(
+                    obs=obs.obs,
+                    privileged=obs.privileged,
+                    critic=obs.critic,
+                    estimated=obs.estimated,
+                    scan=obs.scan,
+                    actions=actions,
+                    rewards=rewards_b,
+                    dones=dones,
+                    values=values,
+                    log_probs=log_prob,
+                    mu=mu,
+                    sigma=sigma,
+                )
+                step_log = dict(
+                    rewards=rewards,
+                    dones=dones,
+                    episode=info["episode"],
+                    n_resets=info["n_resets"],
+                )
+                return (next_state, next_obs, key), (tr, step_log)
+
+            (env_state, obs, key), (traj, logs) = jax.lax.scan(
+                body, (env_state, obs, key), None, length=T
+            )
+            return env_state, obs, traj, logs
+
+        def train_iteration(ts, env_state, obs, key, adaptation_mode: bool):
+            key, k_roll, k_upd = jax.random.split(key, 3)
+            env_state, obs, traj, logs = rollout(
+                ts, env_state, obs, k_roll, adaptation_mode
+            )
+            last_values = nets.value(ts.params, obs.critic)
+            returns, advantages = ppo_lib.compute_gae(
+                traj, last_values, cfg.gamma, cfg.lam
+            )
+            if adaptation_mode:
+                ts, metrics = ppo_lib.dagger_update(nets, cfg, ts, traj, k_upd)
+            else:
+                ts, metrics = ppo_lib.ppo_update(
+                    nets, cfg, ts, traj, returns, advantages, k_upd
+                )
+            metrics = dict(metrics)
+            metrics["mean_reward_step"] = jnp.mean(logs["rewards"])
+            metrics["mean_std"] = jnp.mean(ts.params["std"])
+            return ts, env_state, obs, metrics, logs
+
+        if self.mesh is not None and np.prod(self.mesh.devices.shape) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = P("data")
+            rep = NamedSharding(self.mesh, P())
+            self._train_it = {
+                mode: jax.jit(
+                    functools.partial(train_iteration, adaptation_mode=mode),
+                    donate_argnums=(1,),
+                )
+                for mode in (False, True)
+            }
+            self._shard_state = lambda s: shard_env_state(self.mesh, s)
+        else:
+            self._train_it = {
+                mode: jax.jit(
+                    functools.partial(train_iteration, adaptation_mode=mode),
+                    donate_argnums=(1,),
+                )
+                for mode in (False, True)
+            }
+            self._shard_state = lambda s: s
+
+    # ------------------------------------------------------------------
+    def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = False):
+        if self.log_dir is not None and self.writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                os.makedirs(self.log_dir, exist_ok=True)
+                self.writer = SummaryWriter(log_dir=self.log_dir, flush_secs=10)
+            except Exception:
+                self.writer = None
+
+        if self.env_state is None:
+            self.key, k_reset = jax.random.split(self.key)
+            self.env_state, self.obs = self.env.reset_all(
+                k_reset, init_at_random_ep_len=init_at_random_ep_len
+            )
+            self.env_state = self._shard_state(self.env_state)
+
+        rewbuffer = deque(maxlen=100)
+        lenbuffer = deque(maxlen=100)
+        cur_reward_sum = np.zeros(self.env.num_envs)
+        cur_episode_length = np.zeros(self.env.num_envs)
+
+        tot_iter = self.current_learning_iteration + num_learning_iterations
+        metrics = {}
+        for it in range(self.current_learning_iteration, tot_iter):
+            start = time.time()
+            use_adaptation = it % self.dagger_update_freq == 0
+            self.key, k_it = jax.random.split(self.key)
+            self.train_state, self.env_state, self.obs, metrics, logs = self._train_it[
+                use_adaptation
+            ](self.train_state, self.env_state, self.obs, k_it)
+            jax.block_until_ready(metrics)
+            iter_time = time.time() - start
+
+            # episode bookkeeping (host side)
+            rewards = np.asarray(logs["rewards"])  # (T, B)
+            dones = np.asarray(logs["dones"])
+            for t in range(rewards.shape[0]):
+                cur_reward_sum += rewards[t]
+                cur_episode_length += 1
+                finished = dones[t] > 0
+                if finished.any():
+                    rewbuffer.extend(cur_reward_sum[finished].tolist())
+                    lenbuffer.extend(cur_episode_length[finished].tolist())
+                    cur_reward_sum[finished] = 0
+                    cur_episode_length[finished] = 0
+
+            self.tot_timesteps += self.num_steps_per_env * self.env.num_envs
+            self.tot_time += iter_time
+            fps = int(self.num_steps_per_env * self.env.num_envs / iter_time)
+            self._log(it, tot_iter, metrics, logs, fps, iter_time, rewbuffer, lenbuffer)
+            if it % self.save_interval == 0 and self.log_dir is not None:
+                self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+        self.current_learning_iteration = tot_iter
+        if self.log_dir is not None:
+            self.save(os.path.join(self.log_dir, f"model_{tot_iter}.ckpt"))
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _log(self, it, tot_iter, metrics, logs, fps, iter_time, rewbuffer, lenbuffer,
+             width=80, pad=35):
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        if self.writer is not None:
+            ep = jax.tree.map(lambda x: np.asarray(x), logs["episode"])
+            for key, arr in ep.items():
+                self.writer.add_scalar("Episode/" + key, float(np.mean(arr)), it)
+            self.writer.add_scalar("Loss/value_function", m.get("value_loss", 0.0), it)
+            self.writer.add_scalar("Loss/surrogate", m.get("surrogate_loss", 0.0), it)
+            self.writer.add_scalar("Loss/regularization", m.get("reg_loss", 0.0), it)
+            self.writer.add_scalar("Loss/regularization coef", m.get("reg_coef", 0.0), it)
+            self.writer.add_scalar("Loss/adaptation", m.get("adaptation_loss", 0.0), it)
+            self.writer.add_scalar("Loss/estimator", m.get("est_loss", 0.0), it)
+            self.writer.add_scalar("Loss/learning_rate", m.get("learning_rate", 0.0), it)
+            self.writer.add_scalar("Policy/mean_noise_std", m.get("mean_std", 0.0), it)
+            self.writer.add_scalar("Perf/total_fps", fps, it)
+            self.writer.add_scalar("Perf/collection time", iter_time, it)
+            self.writer.add_scalar("Perf/learning_time", iter_time, it)
+            if len(rewbuffer) > 0:
+                self.writer.add_scalar("Train/mean_reward", float(np.mean(rewbuffer)), it)
+                self.writer.add_scalar(
+                    "Train/mean_episode_length", float(np.mean(lenbuffer)), it
+                )
+        head = f" Learning iteration {it}/{tot_iter} "
+        lines = [
+            "#" * width,
+            head.center(width),
+            f"{'Computation:':>{pad}} {fps:.0f} steps/s (iteration {iter_time:.3f}s)",
+            f"{'Value function loss:':>{pad}} {m.get('value_loss', 0.0):.4f}",
+            f"{'Surrogate loss:':>{pad}} {m.get('surrogate_loss', 0.0):.4f}",
+            f"{'Adaptation loss:':>{pad}} {m.get('adaptation_loss', 0.0):.4f}",
+            f"{'Regularization loss:':>{pad}} {m.get('reg_loss', 0.0):.4f}",
+            f"{'Estimator loss:':>{pad}} {m.get('est_loss', 0.0):.4f}",
+            f"{'Mean action noise std:':>{pad}} {m.get('mean_std', 0.0):.2f}",
+        ]
+        if len(rewbuffer) > 0:
+            lines.append(f"{'Mean reward:':>{pad}} {np.mean(rewbuffer):.2f}")
+            lines.append(f"{'Mean episode length:':>{pad}} {np.mean(lenbuffer):.2f}")
+        lines.append(f"{'Total timesteps:':>{pad}} {self.tot_timesteps}")
+        lines.append(f"{'Total time:':>{pad}} {self.tot_time:.2f}s")
+        print("\n".join(lines))
+
+    # ------------------------------------------------------------------
+    def save(self, path, infos=None):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "params": jax.tree.map(np.asarray, self.train_state.params),
+            "opt_state_policy": jax.tree.map(np.asarray, self.train_state.opt_state_policy),
+            "opt_state_adapt": jax.tree.map(np.asarray, self.train_state.opt_state_adapt),
+            "opt_state_est": jax.tree.map(np.asarray, self.train_state.opt_state_est),
+            "learning_rate": float(self.train_state.learning_rate),
+            "total_updates": float(self.train_state.total_updates),
+            "iter": self.current_learning_iteration,
+            "infos": infos,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load(self, path, load_optimizer=True):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        ts = self.train_state
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        ts = ts.replace(params=params)
+        if load_optimizer:
+            ts = ts.replace(
+                opt_state_policy=jax.tree.map(
+                    jnp.asarray, payload["opt_state_policy"],
+                    is_leaf=lambda x: isinstance(x, np.ndarray),
+                ),
+                opt_state_adapt=jax.tree.map(
+                    jnp.asarray, payload["opt_state_adapt"],
+                    is_leaf=lambda x: isinstance(x, np.ndarray),
+                ),
+                opt_state_est=jax.tree.map(
+                    jnp.asarray, payload["opt_state_est"],
+                    is_leaf=lambda x: isinstance(x, np.ndarray),
+                ),
+                learning_rate=jnp.asarray(payload["learning_rate"]),
+                total_updates=jnp.asarray(payload["total_updates"]),
+            )
+        self.train_state = ts
+        self.current_learning_iteration = payload["iter"]
+        return payload.get("infos")
+
+    def get_inference_policy(self, stochastic: bool = False):
+        """Deterministic (or sampling) policy fn over the 5 obs streams
+        (reference on_policy_runner.py:299-309)."""
+        nets = self.nets
+        params = self.train_state.params
+
+        @jax.jit
+        def act_inference(obs5, adaptation_mode: bool = True):
+            estimated = nets.estimate(params, obs5.obs)
+            return nets.action_mean(
+                params, obs5.obs, obs5.privileged, estimated, obs5.scan,
+                adaptation_mode,
+            )
+
+        return act_inference
