@@ -1,0 +1,106 @@
+"""MuJoCo sim-to-sim deploy loop (reference deploy/deploy_mujoco/deploy_mujoco.py).
+
+500 Hz `mj_step` + 50 Hz policy, PD torques recomputed at sim rate
+(deploy_mujoco.py:56-59, 110-117), optional viewer + real-time pacing, gamepad
+or scripted commands.  This is the parity oracle for the TPU engine
+(SURVEY §2.4, BASELINE.md): trained policies must control the MuJoCo Go2 the
+same way they control the TPU sim.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .config_parser import ConfigParser
+from .controller import BaseController
+
+
+class MujocoController(BaseController):
+    """Sim-to-sim controller reading state from MuJoCo (deploy_mujoco.py:13-59)."""
+
+    def __init__(self, cfg: ConfigParser, bundle_path: str, mj_model, mj_data,
+                 command_source: Optional[Callable[[], np.ndarray]] = None,
+                 scan_trace_path: Optional[str] = None):
+        super().__init__(cfg, bundle_path, scan_trace_path)
+        self.mj_model = mj_model
+        self.mj_data = mj_data
+        self.command_source = command_source or (lambda: np.zeros(3, np.float32))
+
+    def _refresh_robot_states(self):
+        d = self.mj_data
+        self.qj = d.qpos[7:].astype(np.float32).copy()
+        self.dqj = d.qvel[6:].astype(np.float32).copy()
+        self.base_quat = d.qpos[3:7].astype(np.float32).copy()  # wxyz
+        # gyro: world angular velocity rotated into the base frame
+        w, x, y, z = self.base_quat
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        omega_world = R @ d.qvel[3:6]  # free joint ang vel is body-frame
+        self.ang_vel = (R.T @ omega_world).astype(np.float32)  # = qvel[3:6]
+        self.cmd = self.get_smoothed_command(
+            np.asarray(self.command_source(), np.float32), 0.1
+        )
+
+    def compute_torques(self) -> np.ndarray:
+        """PD at sim rate toward target_dof_pos (deploy_mujoco.py:56-59)."""
+        q = self.mj_data.qpos[7:]
+        dq = self.mj_data.qvel[6:]
+        return self.cfg.kps * (self.target_dof_pos - q) - self.cfg.kds * dq
+
+
+def run(cfg: ConfigParser, bundle_path: str, duration_s: float = 10.0,
+        viewer: bool = False, realtime: bool = False,
+        command_source=None, scan_trace_path=None, keyframe: int = 0):
+    """Headless-able main loop (deploy_mujoco.py:62-127).
+
+    Returns the recorded (time, qpos, ctrl, target_dof_pos) trajectory for
+    parity checks.
+    """
+    import mujoco
+
+    mj_model = mujoco.MjModel.from_xml_path(cfg.xml_path)
+    mj_data = mujoco.MjData(mj_model)
+    mj_model.opt.timestep = cfg.simulation_dt
+    if mj_model.nkey > keyframe:
+        mujoco.mj_resetDataKeyframe(mj_model, mj_data, keyframe)
+
+    controller = MujocoController(
+        cfg, bundle_path, mj_model, mj_data, command_source, scan_trace_path
+    )
+    v = None
+    if viewer:
+        import mujoco.viewer as mj_viewer
+
+        v = mj_viewer.launch_passive(mj_model, mj_data)
+
+    traj = {"t": [], "qpos": [], "ctrl": [], "target": []}
+    n_steps = int(duration_s / cfg.simulation_dt)
+    counter = 0
+    t_start = time.time()
+    for i in range(n_steps):
+        step_start = time.time()
+        if counter % cfg.control_decimation == 0:
+            controller.step(mj_data.time)
+        mj_data.ctrl[:] = controller.compute_torques()
+        mujoco.mj_step(mj_model, mj_data)
+        counter += 1
+        traj["t"].append(mj_data.time)
+        traj["qpos"].append(mj_data.qpos.copy())
+        traj["ctrl"].append(mj_data.ctrl.copy())
+        traj["target"].append(controller.target_dof_pos.copy())
+        if v is not None:
+            v.sync()
+        if realtime:
+            leftover = cfg.simulation_dt - (time.time() - step_start)
+            if leftover > 0:
+                time.sleep(leftover)
+    if v is not None:
+        v.close()
+    return {k: np.asarray(vv) for k, vv in traj.items()}

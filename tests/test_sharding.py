@@ -1,0 +1,53 @@
+"""Multi-device mesh tests on the virtual 8-CPU-device platform."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_gym_custom_tpu.parallel.mesh import batch_sharding, make_mesh, shard_env_state
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_env_state_sharding_and_step():
+    from legged_gym_custom_tpu.envs import task_registry
+
+    env_cfg, _ = task_registry.get_cfgs("go2")
+    env_cfg.env.num_envs = 16
+    env = task_registry.get_task_class("go2")(env_cfg, env_cfg.asset.file, name="go2")
+    mesh = make_mesh()
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    state = shard_env_state(mesh, state)
+    # batched leaves are sharded over 8 devices
+    assert len(state.physics.base_pos.sharding.device_set) == 8
+    step = jax.jit(env.step)
+    state2, obs2, rew, done, info = step(state, jnp.zeros((16, 12)))
+    jax.block_until_ready(rew)
+    assert rew.shape == (16,)
+    assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # compile-check on small batch to keep CPU time down
+    params = args[0]
+    small = (params,) + tuple(a[:8] for a in args[1:])
+    out = jax.jit(fn)(*small)
+    jax.block_until_ready(out)
+    assert out[0].shape == (8, 12)
