@@ -68,6 +68,7 @@ class EnvState:
     command_ranges: jnp.ndarray           # (4, 2) [vx, vy, wz, heading]
     dr: DomainRandParams                  # batched per-env params
     rng: jnp.ndarray                      # PRNG key
+    actuator_state: Any = None            # stateful actuator models (SEA LSTM)
 
 
 class LeggedEnv:
@@ -232,10 +233,30 @@ class LeggedEnv:
             ang_vel=jnp.asarray(init.ang_vel, jnp.float32),
         )
 
+        self._torque_fn = self._build_torque_fn()
         self._vstep = jax.vmap(
-            lambda s, a, d: phys.control_step(
-                self.ma, self.hf, self.sim_params, self.pd, d, self.dof_limits, s, a
+            lambda s, a, d, acts: phys.control_step(
+                self.ma, self.hf, self.sim_params, self.pd, d, self.dof_limits, s, a,
+                actuator_state=acts, torque_fn=self._torque_fn,
             )
+        )
+
+    # ------------------------------------------------------------------
+    # Stateful actuator hooks (ANYmal SEA network overrides these)
+    # ------------------------------------------------------------------
+    def _build_torque_fn(self):
+        return None
+
+    def _init_actuator_state(self):
+        """Per-env initial actuator state; () placeholder when stateless."""
+        return jnp.zeros((self.num_envs,), jnp.float32)
+
+    def _reset_actuator_state(self, act_state, reset_mask):
+        return jax.tree.map(
+            lambda x: jnp.where(
+                reset_mask.reshape((self.num_envs,) + (1,) * (x.ndim - 1)), 0.0, x
+            ),
+            act_state,
         )
 
     # ------------------------------------------------------------------
@@ -582,6 +603,7 @@ class LeggedEnv:
             command_ranges=cr,
             dr=dr,
             rng=keys[2],
+            actuator_state=self._init_actuator_state(),
         )
         physics = self._sample_reset_physics(state, keys[3], origins)
         state = state.replace(physics=physics)
@@ -593,7 +615,9 @@ class LeggedEnv:
                     keys[5], (B,), 0, self.max_episode_length
                 )
             )
-        state, obs, _, _, _ = self.step(state, jnp.zeros((B, self.num_actions)))
+        state, obs, _, _, _ = jax.jit(self.step)(
+            state, jnp.zeros((B, self.num_actions))
+        )
         return state, obs
 
     def step(self, state: EnvState, actions: jnp.ndarray
@@ -608,7 +632,9 @@ class LeggedEnv:
         actions = jnp.clip(actions, -clip_a, clip_a)
 
         # ---- physics (decimated PD torque loop) ----
-        ph, info = self._vstep(state.physics, actions, state.dr)
+        ph, info, actuator_state = self._vstep(
+            state.physics, actions, state.dr, state.actuator_state
+        )
         episode_length = state.episode_length + 1
         common_step = state.common_step + 1
 
@@ -796,6 +822,7 @@ class LeggedEnv:
             command_ranges=command_ranges,
             dr=state.dr,
             rng=rng,
+            actuator_state=self._reset_actuator_state(actuator_state, reset_buf),
         )
         new_state, obs = self._compute_observations(new_state, derived, k_noise)
 

@@ -61,6 +61,8 @@ class LSTMWeights(NamedTuple):
     b_hh: tuple
     w_out: jnp.ndarray
     b_out: jnp.ndarray
+    in_scale: jnp.ndarray = 1.0   # input normalization (anydrive_v3_lstm)
+    out_scale: jnp.ndarray = 1.0  # torque output scaling
 
 
 def lstm_cell(x, h_prev, c_prev, w_ih, w_hh, b_ih, b_hh):
@@ -81,7 +83,7 @@ def lstm_actuator(
     cell: jnp.ndarray,        # (layers, ndof, hidden)
 ):
     """One step of the per-dof SEA LSTM; returns (torques, hidden', cell')."""
-    x = jnp.stack([pos_err, dof_vel], axis=-1)  # (ndof, 2)
+    x = jnp.stack([pos_err, dof_vel], axis=-1) * weights.in_scale  # (ndof, 2)
     new_h, new_c = [], []
     for l in range(len(weights.w_ih)):
         h, c = lstm_cell(
@@ -91,5 +93,5 @@ def lstm_actuator(
         new_h.append(h)
         new_c.append(c)
         x = h
-    torques = (x @ weights.w_out.T + weights.b_out)[..., 0]
+    torques = (x @ weights.w_out.T + weights.b_out)[..., 0] * weights.out_scale
     return torques, jnp.stack(new_h), jnp.stack(new_c)

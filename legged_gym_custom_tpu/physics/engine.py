@@ -169,19 +169,29 @@ def control_step(
     dof_limits: tuple,
     state: PhysicsState,
     actions: jnp.ndarray,
+    actuator_state=None,
+    torque_fn=None,
 ):
-    """Full 50 Hz control step: decimation x substeps with PD torque refresh.
+    """Full 50 Hz control step: decimation x substeps with torque refresh.
 
     Matches reference step() structure (legged_robot.py:79-85): torques are
     recomputed from the *current* dof state at every decimation tick.
+
+    `torque_fn(actions, dof_pos, dof_vel, act_state) -> (tau, act_state')`
+    overrides the PD law for stateful actuator models (the ANYmal SEA LSTM,
+    reference anymal.py:71-80); default is the PD controller.
     """
     dt_sub = params.dt / params.substeps
 
     def decim_body(carry, _):
-        st, _info = carry
-        tau = compute_torques(
-            pd, actions, st.dof_pos, st.dof_vel, dr.kp_mult, dr.kd_mult
-        )
+        st, act_state, _info = carry
+        if torque_fn is not None:
+            tau, act_state = torque_fn(actions, st.dof_pos, st.dof_vel, act_state)
+            tau = jnp.clip(tau, -pd.torque_limits, pd.torque_limits)
+        else:
+            tau = compute_torques(
+                pd, actions, st.dof_pos, st.dof_vel, dr.kp_mult, dr.kd_mult
+            )
 
         def sub_body(st2, _):
             st3, contacts = substep(ma, hf, params, dr, dof_limits, st2, tau, dt_sub)
@@ -190,15 +200,15 @@ def control_step(
         st, link_forces = jax.lax.scan(
             sub_body, st, None, length=params.substeps
         )
-        return (st, (link_forces[-1], tau)), None
+        return (st, act_state, (link_forces[-1], tau)), None
 
     zero_info = (
         jnp.zeros((ma.n_links, 3), dtype=state.base_pos.dtype),
         jnp.zeros_like(actions),
     )
-    (state, (link_forces, torques)), _ = jax.lax.scan(
-        decim_body, (state, zero_info), None, length=params.decimation
+    (state, actuator_state, (link_forces, torques)), _ = jax.lax.scan(
+        decim_body, (state, actuator_state, zero_info), None, length=params.decimation
     )
     pos, vel = link_states(ma, state)
     info = StepInfo(link_forces, pos, vel, torques)
-    return state, info
+    return state, info, actuator_state

@@ -60,7 +60,7 @@ def test_freefall(go2):
     )
     n = 25  # 0.5 s
     for _ in range(n):
-        state, info = step(state, jnp.asarray(DEFAULT_ANGLES * 0.0))
+        state, info, _ = step(state, jnp.asarray(DEFAULT_ANGLES * 0.0))
     t = n * params.dt * params.decimation
     expect_z = 10.0 - 0.5 * 9.81 * t**2
     assert abs(float(state.base_pos[2]) - expect_z) < 0.05
@@ -78,7 +78,7 @@ def test_standing_stable(go2):
     )
     zero = jnp.zeros(12)
     for i in range(100):  # 2 s
-        state, info = step(state, zero)
+        state, info, _ = step(state, zero)
     assert np.isfinite(np.asarray(state.base_pos)).all()
     z = float(state.base_pos[2])
     assert 0.24 < z < 0.36, f"unexpected standing height {z}"
@@ -94,7 +94,7 @@ def test_standing_stable(go2):
     feet = [i for i, n in enumerate(model.link_names) if "foot" in n]
     sums = []
     for _ in range(20):
-        state, info = step(state, zero)
+        state, info, _ = step(state, zero)
         sums.append(np.asarray(info.link_forces)[feet, 2].sum())
     np.testing.assert_allclose(np.mean(sums), model.mass.sum() * 9.81, rtol=0.25)
 
@@ -125,7 +125,7 @@ def test_standing_batch_vmap(go2):
     actions = jnp.zeros((B, 12))
     st = state_b
     for _ in range(50):
-        st, info = step(st, actions, dr_b)
+        st, info, _ = step(st, actions, dr_b)
     assert np.isfinite(np.asarray(st.base_pos)).all()
     z = np.asarray(st.base_pos[:, 2])
     assert (z > 0.2).all() and (z < 0.4).all()
