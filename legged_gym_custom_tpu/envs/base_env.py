@@ -234,12 +234,23 @@ class LeggedEnv:
         )
 
         self._torque_fn = self._build_torque_fn()
-        self._vstep = jax.vmap(
-            lambda s, a, d, acts: phys.control_step(
-                self.ma, self.hf, self.sim_params, self.pd, d, self.dof_limits, s, a,
-                actuator_state=acts, torque_fn=self._torque_fn,
-            )
+
+    def _vstep(self, physics, actions, dr, actuator_state):
+        """Run the natively-batched SoA engine from batch-leading env arrays.
+
+        The env stores (B, ...) leaves (convenient for masked resets and obs);
+        the engine wants component-major with batch trailing (physics/soa.py).
+        The moveaxis transposes are negligible next to the physics itself.
+        """
+        to_soa = lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), t)
+        from_soa = lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), t)
+        st, info, acts = phys.control_step(
+            self.ma, self.hf, self.sim_params, self.pd,
+            to_soa(dr), self.dof_limits,
+            to_soa(physics), jnp.moveaxis(actions, 0, -1),
+            actuator_state=to_soa(actuator_state), torque_fn=self._torque_fn,
         )
+        return from_soa(st), from_soa(info), from_soa(acts)
 
     # ------------------------------------------------------------------
     # Stateful actuator hooks (ANYmal SEA network overrides these)

@@ -4,24 +4,23 @@ The north-star extension beyond the reference (BASELINE.json): the same
 physics engine driven as a batched shooting/rollout engine, with legged_gym
 reward terms recast as stage costs.  Per solve: K perturbed action sequences
 of horizon H are rolled through the dynamics (`lax.scan` over the horizon,
-`vmap` over samples and robots), exponentially weighted by trajectory cost
-(MPPI, Williams et al. 2017 — information-theoretic MPC), and averaged into a
+all B*K scenario rollouts natively batched in the SoA engine), exponentially
+weighted by trajectory cost (MPPI, Williams et al. 2017), and averaged into a
 new nominal sequence; warm-started by shifting between solves.
 
-Layout: (B robots, K samples) flattened to one B*K rollout batch -> the same
-env-batch sharding as training scales solves across chips (scenario blocks on
-the 'data' mesh axis; cost reductions are per-robot, so no cross-shard
-collectives when B is sharded and K kept local).
+Scaling: the B*K rollout batch is the same trailing batch axis the training
+engine shards on the 'data' mesh axis — scenario blocks across chips, cost
+reductions per robot stay shard-local when K is kept within a shard.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from legged_gym_custom_tpu import physics as phys
-from legged_gym_custom_tpu.physics import spatial as sp
+from legged_gym_custom_tpu.physics import soa
 
 
 class MPPIConfig(NamedTuple):
@@ -46,18 +45,22 @@ class MPCState(NamedTuple):
 
 def stage_cost(cfg: MPPIConfig, ph: phys.PhysicsState, info, commands, actions,
                prev_actions):
-    """Negative-reward stage cost over one control step (per rollout)."""
-    base_lin = sp.quat_rotate_inverse(ph.base_quat, ph.lin_vel)
-    base_ang = sp.quat_rotate_inverse(ph.base_quat, ph.ang_vel)
-    g = sp.quat_rotate_inverse(ph.base_quat, jnp.array([0.0, 0.0, -1.0]))
-    c_track = cfg.w_tracking_lin * jnp.sum(
-        jnp.square(commands[:2] - base_lin[:2]), -1
+    """Negative-reward stage cost over one control step (SoA layout).
+
+    ph leaves component-major (…, BK); commands (4, BK); actions (A, BK).
+    """
+    R = soa.quat_to_matrix(ph.base_quat)
+    base_lin = soa.mtv(R, ph.lin_vel)
+    base_ang = soa.mtv(R, ph.ang_vel)
+    g_b = -R[2]  # world -z in body coords: row 2 of R^T applied... R^T @ [0,0,-1]
+    c_track = cfg.w_tracking_lin * (
+        jnp.square(commands[0] - base_lin[0]) + jnp.square(commands[1] - base_lin[1])
     )
     c_ang = cfg.w_tracking_ang * jnp.square(commands[2] - base_ang[2])
     c_height = cfg.w_height * jnp.square(ph.base_pos[2] - cfg.height_target)
-    c_orient = cfg.w_orientation * jnp.sum(jnp.square(g[:2]), -1)
-    c_rate = cfg.w_action_rate * jnp.sum(jnp.square(actions - prev_actions), -1)
-    c_tau = cfg.w_torque * jnp.sum(jnp.square(info.torques), -1)
+    c_orient = cfg.w_orientation * (jnp.square(g_b[0]) + jnp.square(g_b[1]))
+    c_rate = cfg.w_action_rate * jnp.sum(jnp.square(actions - prev_actions), axis=0)
+    c_tau = cfg.w_torque * jnp.sum(jnp.square(info.torques), axis=0)
     return c_track + c_ang + c_height + c_orient + c_rate + c_tau
 
 
@@ -69,40 +72,41 @@ class MPPI:
         self.cfg = cfg
         self.num_actions = env.num_actions
 
-        def rollout_cost(ph0, dr, commands, action_seq):
-            """Cost of one (H, A) action sequence for one robot (unbatched)."""
-            def body(carry, actions):
-                ph, prev_a = carry
-                ph, info, _ = phys.control_step(
-                    env.ma, env.hf, env.sim_params, env.pd, dr, env.dof_limits,
-                    ph, actions,
-                )
-                c = stage_cost(cfg, ph, info, commands, actions, prev_a)
-                return (ph, actions), c
-
-            (_, _), costs = jax.lax.scan(
-                body, (ph0, jnp.zeros(self.num_actions)), action_seq
-            )
-            return jnp.sum(costs)
-
-        # vmap over K samples, then over B robots
-        self._cost_bk = jax.vmap(                      # over robots
-            jax.vmap(rollout_cost, in_axes=(None, None, None, 0)),  # over samples
-            in_axes=(0, 0, 0, 0),
-        )
-
     def init_state(self, batch: int) -> MPCState:
         return MPCState(
             nominal=jnp.zeros((batch, self.cfg.horizon, self.num_actions))
         )
 
-    def solve(self, mpc_state: MPCState, ph: phys.PhysicsState, dr, commands, key):
+    def _rollout_costs(self, ph0, dr, commands, samples_soa):
+        """Total costs for all B*K rollouts.
+
+        ph0/dr: component-major leaves with trailing batch BK;
+        commands (4, BK); samples_soa (H, A, BK).
+        Returns (BK,) costs.
+        """
+        env, cfg = self.env, self.cfg
+
+        def body(carry, actions):
+            ph, prev_a = carry
+            ph, info, _ = phys.control_step(
+                env.ma, env.hf, env.sim_params, env.pd, dr, env.dof_limits,
+                ph, actions,
+            )
+            c = stage_cost(cfg, ph, info, commands, actions, prev_a)
+            return (ph, actions), c
+
+        (_, _), costs = jax.lax.scan(
+            body, (ph0, jnp.zeros_like(samples_soa[0])), samples_soa
+        )
+        return jnp.sum(costs, axis=0)
+
+    def solve(self, mpc_state: MPCState, physics, dr, commands, key):
         """One MPPI solve for a batch of robots.
 
-        Args:
-          ph: batched (B, ...) physics state.
+        Args (batch-LEADING, as stored by the env):
+          physics: (B, ...) PhysicsState;  dr: (B, ...) DomainRandParams;
           commands: (B, 4) velocity commands.
-        Returns: (actions (B, A), new MPCState, mean cost (B,)).
+        Returns: (actions (B, A), new MPCState, expected cost (B,)).
         """
         cfg = self.cfg
         B = commands.shape[0]
@@ -123,7 +127,15 @@ class MPPI:
         clip_a = self.env.cfg.normalization.clip_actions
         samples = jnp.clip(samples, -clip_a, clip_a)
 
-        costs = self._cost_bk(ph, dr, commands, samples)  # (B, K)
+        # tile robots K times, convert to SoA trailing batch BK
+        tile = lambda x: jnp.repeat(x, K, axis=0)
+        to_soa = lambda t: jax.tree.map(lambda x: jnp.moveaxis(tile(x), 0, -1), t)
+        ph0 = to_soa(physics)
+        dr_s = to_soa(dr)
+        cmds = jnp.moveaxis(tile(commands), 0, -1)        # (4, BK)
+        samples_soa = jnp.moveaxis(samples.reshape(B * K, H, A), 0, -1)  # (H,A,BK)
+
+        costs = self._rollout_costs(ph0, dr_s, cmds, samples_soa).reshape(B, K)
         costs = jnp.where(jnp.isfinite(costs), costs, 1e9)
         beta = jnp.min(costs, axis=1, keepdims=True)
         w = jnp.exp(-(costs - beta) / cfg.temperature)

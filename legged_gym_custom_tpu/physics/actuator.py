@@ -20,30 +20,40 @@ class PDParams(NamedTuple):
     control_type: str = "P"     # 'P' | 'V' | 'T'
 
 
+def _bcast(x, bs):
+    return x.reshape(x.shape + (1,) * len(bs))
+
+
 def compute_torques(
     pd: PDParams,
-    actions: jnp.ndarray,       # (ndof,) already clipped by the env
+    actions: jnp.ndarray,       # (ndof,)+bs, already clipped by the env
     dof_pos: jnp.ndarray,
     dof_vel: jnp.ndarray,
-    kp_mult: jnp.ndarray | None = None,   # (ndof,) domain-rand multipliers
+    kp_mult: jnp.ndarray | None = None,   # (ndof,)+bs domain-rand multipliers
     kd_mult: jnp.ndarray | None = None,
     last_dof_vel: jnp.ndarray | None = None,
     dt: float | None = None,
 ) -> jnp.ndarray:
+    """Component-major with trailing batch (physics/soa.py layout)."""
+    bs = dof_pos.shape[1:]
+    p_gains = _bcast(pd.p_gains, bs)
+    d_gains = _bcast(pd.d_gains, bs)
+    default = _bcast(pd.default_dof_pos, bs)
+    tlim = _bcast(pd.torque_limits, bs)
     actions_scaled = actions * pd.action_scale
     if pd.control_type == "P":
-        kp = pd.p_gains if kp_mult is None else kp_mult * pd.p_gains
-        kd = pd.d_gains if kd_mult is None else kd_mult * pd.d_gains
-        torques = kp * (actions_scaled + pd.default_dof_pos - dof_pos) - kd * dof_vel
+        kp = p_gains if kp_mult is None else kp_mult * p_gains
+        kd = d_gains if kd_mult is None else kd_mult * d_gains
+        torques = kp * (actions_scaled + default - dof_pos) - kd * dof_vel
     elif pd.control_type == "V":
-        torques = pd.p_gains * (actions_scaled - dof_vel) - pd.d_gains * (
+        torques = p_gains * (actions_scaled - dof_vel) - d_gains * (
             (dof_vel - last_dof_vel) / dt
         )
     elif pd.control_type == "T":
         torques = actions_scaled
     else:
         raise NameError(f"Unknown controller type: {pd.control_type}")
-    return jnp.clip(torques, -pd.torque_limits, pd.torque_limits)
+    return jnp.clip(torques, -tlim, tlim)
 
 
 # --------------------------------------------------------------------------
@@ -65,10 +75,17 @@ class LSTMWeights(NamedTuple):
     out_scale: jnp.ndarray = 1.0  # torque output scaling
 
 
-def lstm_cell(x, h_prev, c_prev, w_ih, w_hh, b_ih, b_hh):
-    """Torch-convention LSTM cell (gate order i, f, g, o)."""
-    gates = x @ w_ih.T + b_ih + h_prev @ w_hh.T + b_hh
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
+def lstm_cell(x, h_prev, c_prev, w_ih, w_hh, b_ih, b_hh, bs):
+    """Torch-convention LSTM cell (gate order i, f, g, o), SoA layout.
+
+    x: (ndof, in)+bs, h/c: (ndof, hidden)+bs; weights are plain torch shapes.
+    """
+    gates = (
+        jnp.einsum("nd...,gd->ng...", x, w_ih)
+        + jnp.einsum("nh...,gh->ng...", h_prev, w_hh)
+        + _bcast(b_ih + b_hh, bs)[None]
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=1)
     sig = lambda t: 1.0 / (1.0 + jnp.exp(-t))
     c = sig(f) * c_prev + sig(i) * jnp.tanh(g)
     h = sig(o) * jnp.tanh(c)
@@ -77,21 +94,27 @@ def lstm_cell(x, h_prev, c_prev, w_ih, w_hh, b_ih, b_hh):
 
 def lstm_actuator(
     weights: LSTMWeights,
-    pos_err: jnp.ndarray,     # (ndof,)
-    dof_vel: jnp.ndarray,     # (ndof,)
-    hidden: jnp.ndarray,      # (layers, ndof, hidden)
-    cell: jnp.ndarray,        # (layers, ndof, hidden)
+    pos_err: jnp.ndarray,     # (ndof,)+bs
+    dof_vel: jnp.ndarray,     # (ndof,)+bs
+    hidden: jnp.ndarray,      # (layers, ndof, hidden)+bs
+    cell: jnp.ndarray,        # (layers, ndof, hidden)+bs
 ):
     """One step of the per-dof SEA LSTM; returns (torques, hidden', cell')."""
-    x = jnp.stack([pos_err, dof_vel], axis=-1) * weights.in_scale  # (ndof, 2)
+    bs = pos_err.shape[1:]
+    x = jnp.stack([pos_err, dof_vel], axis=1) * _bcast(
+        jnp.asarray(weights.in_scale).reshape(-1), bs
+    )  # (ndof, 2)+bs
     new_h, new_c = [], []
     for l in range(len(weights.w_ih)):
         h, c = lstm_cell(
             x, hidden[l], cell[l], weights.w_ih[l], weights.w_hh[l],
-            weights.b_ih[l], weights.b_hh[l],
+            weights.b_ih[l], weights.b_hh[l], bs,
         )
         new_h.append(h)
         new_c.append(c)
         x = h
-    torques = (x @ weights.w_out.T + weights.b_out)[..., 0] * weights.out_scale
+    torques = (
+        jnp.einsum("nh...,oh->no...", x, weights.w_out)[:, 0]
+        + _bcast(jnp.asarray(weights.b_out).reshape(()), bs)
+    ) * weights.out_scale
     return torques, jnp.stack(new_h), jnp.stack(new_c)

