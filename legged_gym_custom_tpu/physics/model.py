@@ -103,18 +103,27 @@ class RobotModel:
     # MJCF export — lets tests build an *equivalent* MuJoCo model so the TPU
     # dynamics can be validated step-by-step against the oracle (SURVEY §4).
     # ------------------------------------------------------------------
-    def to_mjcf(self) -> str:
+    def to_mjcf(self, contact: bool = False, friction: float = 1.0,
+                timestep: float = 0.005) -> str:
+        """Equivalent MJCF. contact=False (dynamics-only oracle) disables all
+        collisions; contact=True adds a ground plane + sphere contacts so the
+        full stepping pipeline can be compared sim-to-sim."""
         import xml.etree.ElementTree as ET
 
         def fmt(a):
             return " ".join(f"{x:.12g}" for x in np.asarray(a).ravel())
 
         root = ET.Element("mujoco", model=self.name)
-        ET.SubElement(root, "option", timestep="0.005", integrator="Euler")
+        ET.SubElement(root, "option", timestep=f"{timestep}", integrator="Euler")
         ET.SubElement(
             root, "compiler", angle="radian", inertiafromgeom="false", balanceinertia="false"
         )
         world = ET.SubElement(root, "worldbody")
+        if contact:
+            ET.SubElement(
+                world, "geom", type="plane", size="50 50 1", pos="0 0 0",
+                friction=f"{friction} 0.005 0.0001", contype="1", conaffinity="1",
+            )
 
         def mat_to_quat(E):
             # E = R_{child<-parent}; MuJoCo wants body quat = R_{parent<-child}
@@ -183,7 +192,7 @@ class RobotModel:
                 type="sphere",
                 size=f"{self.geom_radius[g]:.12g}",
                 pos=fmt(self.geom_pos[g]),
-                contype="0",
+                contype="1" if contact else "0",
                 conaffinity="0",
                 mass="0",
             )

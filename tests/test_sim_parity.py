@@ -1,0 +1,97 @@
+"""Sim-to-sim parity: the TPU engine vs MuJoCo over a contact-rich horizon.
+
+The reference's deploy pipeline uses MuJoCo as the independent physics oracle
+(SURVEY §2.4, BASELINE.md "Sim-to-sim parity").  Contact models differ
+(penalty vs MuJoCo's soft constraints), so this is a tolerance-based check on
+trajectories, not bit-equality: a PD-held Go2 dropped on flat ground must
+settle to the same stance in both sims.
+"""
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from legged_gym_custom_tpu import physics as phys
+
+GO2_URDF = "/root/reference/resources/robots/go2/urdf/go2.urdf"
+DEFAULT_ANGLES = np.array(
+    [0.1, 0.8, -1.5, -0.1, 0.8, -1.5, 0.1, 1.0, -1.5, -0.1, 1.0, -1.5]
+)
+
+
+def test_standing_parity_vs_mujoco():
+    model = phys.load_urdf(GO2_URDF, "go2")
+    ma = phys.model_arrays(model)
+    pd = phys.PDParams(
+        p_gains=jnp.full(12, 40.0),
+        d_gains=jnp.full(12, 1.0),
+        default_dof_pos=jnp.asarray(DEFAULT_ANGLES, jnp.float32),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
+    dr = phys.DomainRandParams(
+        friction=jnp.float32(1.0), added_mass=jnp.float32(0.0),
+        com_offset=jnp.zeros(3), kp_mult=jnp.ones(12), kd_mult=jnp.ones(12),
+    )
+    params = phys.SimParams()
+    hf = phys.plane()
+    z0 = 0.33
+
+    # --- TPU engine rollout ---
+    st = phys.PhysicsState(
+        base_pos=jnp.array([0.0, 0.0, z0]),
+        base_quat=jnp.array([1.0, 0.0, 0.0, 0.0]),
+        lin_vel=jnp.zeros(3),
+        ang_vel=jnp.zeros(3),
+        dof_pos=jnp.asarray(DEFAULT_ANGLES, jnp.float32),
+        dof_vel=jnp.zeros(12),
+    )
+    step = jax.jit(
+        lambda s: phys.control_step(ma, hf, params, pd, dr, dof_limits, s, jnp.zeros(12))
+    )
+    traj_mine = []
+    for _ in range(75):  # 1.5 s
+        st, info, _ = step(st)
+        traj_mine.append(
+            np.concatenate([np.asarray(st.base_pos), np.asarray(st.dof_pos)])
+        )
+    traj_mine = np.asarray(traj_mine)
+
+    # --- MuJoCo rollout, same PD law at 200 Hz ---
+    mjm = mujoco.MjModel.from_xml_string(model.to_mjcf(contact=True, friction=1.0))
+    mjd = mujoco.MjData(mjm)
+    mjd.qpos[:3] = [0, 0, z0]
+    mjd.qpos[3:7] = [1, 0, 0, 0]
+    mjd.qpos[7:] = DEFAULT_ANGLES
+    traj_mj = []
+    for i in range(75):
+        for _ in range(4):  # decimation at 200 Hz like the engine
+            q = mjd.qpos[7:]
+            dq = mjd.qvel[6:]
+            tau = 40.0 * (DEFAULT_ANGLES - q) - 1.0 * dq
+            mjd.qfrc_applied[:] = 0.0
+            mjd.qfrc_applied[6:] = np.clip(
+                tau, -model.dof_effort_limits, model.dof_effort_limits
+            )
+            mujoco.mj_step(mjm, mjd)
+        traj_mj.append(np.concatenate([mjd.qpos[:3].copy(), mjd.qpos[7:].copy()]))
+    traj_mj = np.asarray(traj_mj)
+
+    # settled states agree: base height within 2 cm, joints within 0.1 rad
+    z_mine = traj_mine[-25:, 2].mean()
+    z_mj = traj_mj[-25:, 2].mean()
+    assert abs(z_mine - z_mj) < 0.02, (z_mine, z_mj)
+    q_mine = traj_mine[-1, 3:]
+    q_mj = traj_mj[-1, 3:]
+    np.testing.assert_allclose(q_mine, q_mj, atol=0.1)
+    # transient: height trajectories track within 4 cm everywhere
+    assert np.max(np.abs(traj_mine[:, 2] - traj_mj[:, 2])) < 0.04
+    # xy drift small in both
+    assert np.linalg.norm(traj_mine[-1, :2]) < 0.05
+    assert np.linalg.norm(traj_mj[-1, :2]) < 0.05
