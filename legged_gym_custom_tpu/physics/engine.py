@@ -101,6 +101,7 @@ def substep(
     state: PhysicsState,
     tau: jnp.ndarray,
     dt: float,
+    inertias=None,
 ):
     """One semi-implicit Euler integration substep. Returns (state', contacts)."""
     bs = state.dof_pos.shape[1:]
@@ -114,7 +115,10 @@ def substep(
     tau_total = tau + _joint_limit_torque(
         params, dof_limits[0], dof_limits[1], state.dof_pos, state.dof_vel
     )
-    inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
+    if inertias is None:
+        # inertias depend only on the domain-rand params; callers stepping in
+        # a loop should hoist body_inertias() out (control_step does)
+        inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
     a0, qdd = aba(
         ma,
         inertias,
@@ -195,6 +199,7 @@ def control_step(
     dt_sub = params.dt / params.substeps
     bs = state.dof_pos.shape[1:]
     tlim = soa.bcast(pd.torque_limits, bs)
+    inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
 
     def decim_body(carry, _):
         st, act_state, _info = carry
@@ -207,7 +212,9 @@ def control_step(
             )
 
         def sub_body(st2, _):
-            st3, contacts = substep(ma, hf, params, dr, dof_limits, st2, tau, dt_sub)
+            st3, contacts = substep(
+                ma, hf, params, dr, dof_limits, st2, tau, dt_sub, inertias
+            )
             return st3, contacts.link_force
 
         st, link_forces = jax.lax.scan(
