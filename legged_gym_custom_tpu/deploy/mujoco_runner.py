@@ -17,6 +17,47 @@ from .config_parser import ConfigParser
 from .controller import BaseController
 
 
+def load_scene(xml_path: str):
+    """Load a MuJoCo scene, stubbing visual meshes that are missing on disk.
+
+    The reference asset tree references a few .obj visual meshes that are not
+    shipped (e.g. go2 base_4.obj); physics is unaffected, so missing files get
+    a degenerate triangle stub via the assets VFS.
+    """
+    import os
+    import re
+
+    import mujoco
+
+    root = os.path.dirname(xml_path)
+    assets = {}
+    stub = b"v 0 0 0\nv 0 0.001 0\nv 0.001 0 0\nv 0 0 0.001\nf 1 2 3\nf 1 2 4\n"
+    # collect mesh file references from the xml and any includes
+    todo = [xml_path]
+    seen = set()
+    meshdir = "assets"
+    while todo:
+        p = todo.pop()
+        if p in seen or not os.path.exists(p):
+            continue
+        seen.add(p)
+        text = open(p).read()
+        m = re.search(r'meshdir="([^"]+)"', text)
+        if m:
+            meshdir = m.group(1)
+        for inc in re.findall(r'<include\s+file="([^"]+)"', text):
+            todo.append(os.path.join(root, inc))
+        for fname in re.findall(r'file="([^"]+\.(?:obj|stl|png))"', text):
+            full = os.path.join(root, meshdir, fname)
+            if not os.path.exists(full):
+                full = os.path.join(root, fname)
+            if os.path.exists(full):
+                assets[fname] = open(full, "rb").read()
+            elif fname.endswith((".obj", ".stl")):
+                assets[fname] = stub
+    return mujoco.MjModel.from_xml_path(xml_path, assets=assets or None)
+
+
 class MujocoController(BaseController):
     """Sim-to-sim controller reading state from MuJoCo (deploy_mujoco.py:13-59)."""
 
@@ -65,7 +106,7 @@ def run(cfg: ConfigParser, bundle_path: str, duration_s: float = 10.0,
     """
     import mujoco
 
-    mj_model = mujoco.MjModel.from_xml_path(cfg.xml_path)
+    mj_model = load_scene(cfg.xml_path)
     mj_data = mujoco.MjData(mj_model)
     mj_model.opt.timestep = cfg.simulation_dt
     if mj_model.nkey > keyframe:
