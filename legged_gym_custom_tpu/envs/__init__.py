@@ -30,6 +30,13 @@ def register_optional_tasks():
     task_registry.register("anymal_c_flat", AnymalEnv, AnymalCFlatCfg, AnymalCFlatCfgPPO)
     task_registry.register("cassie", CassieEnv, CassieCfg, CassieCfgPPO)
 
+    from .g1_config import G1Cfg, G1CfgPPO
+    from .g1_env import G1Env
+
+    # registered here even though the reference keeps G1 broken/unregistered:
+    # this port is functional (see g1_env.py docstring)
+    task_registry.register("g1", G1Env, G1Cfg, G1CfgPPO)
+
 
 try:
     register_optional_tasks()

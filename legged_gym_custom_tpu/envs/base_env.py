@@ -725,6 +725,7 @@ class LeggedEnv:
             last_actions=state.last_actions,
             link_forces=info.link_forces,
             feet_pos=feet_pos,
+            feet_vel=info.link_vel[:, self.feet_ids, :],
             last_contact_heights=last_contact_heights,
             contact_filt=contact_filt,
             feet_air_time=feet_air_time,

@@ -63,7 +63,8 @@ class RewardCtx(NamedTuple):
     actions: jnp.ndarray
     last_actions: jnp.ndarray
     link_forces: jnp.ndarray       # (B, n_links, 3)
-    feet_pos: jnp.ndarray          # (B,4,3) world
+    feet_pos: jnp.ndarray          # (B, n_feet, 3) world
+    feet_vel: jnp.ndarray          # (B, n_feet, 3) world
     last_contact_heights: jnp.ndarray  # (B,4)
     contact_filt: jnp.ndarray      # (B,4) bool, PhysX-style OR-filtered
     feet_air_time: jnp.ndarray     # (B,4) seconds (pre-update value + dt)
@@ -304,6 +305,39 @@ def _reward_min_height(ctx, s):
 
 
 # ---------------------------------------------------------------------------
+# G1 humanoid terms (g1_env_broken.py:106-124; the env is kept non-registered
+# in the reference — "broken" — but the terms are implemented faithfully, and
+# forward_vel, declared in its config but missing from the reference env, is
+# implemented as clipped world forward velocity)
+# ---------------------------------------------------------------------------
+
+def _reward_g1_contact(ctx, s):
+    stance = ctx.phases < 0.55
+    contact = ctx.link_forces[:, s.feet_ids, 2] > 1.0
+    return jnp.sum((~(contact ^ stance)).astype(jnp.float32), axis=1)
+
+
+def _reward_feet_swing_height(ctx, s):
+    contact = jnp.linalg.norm(ctx.link_forces[:, s.feet_ids, :], axis=-1) > 1.0
+    pos_error = jnp.square(ctx.feet_pos[:, :, 2] - 0.08) * ~contact
+    return jnp.sum(pos_error, axis=1)
+
+
+def _reward_alive(ctx, s):
+    return jnp.ones_like(ctx.roll)
+
+
+def _reward_contact_no_vel(ctx, s):
+    contact = jnp.linalg.norm(ctx.link_forces[:, s.feet_ids, :], axis=-1) > 1.0
+    v = ctx.feet_vel * contact[..., None]
+    return jnp.sum(jnp.square(v), axis=(1, 2))
+
+
+def _reward_forward_vel(ctx, s):
+    return jnp.clip(ctx.world_lin_vel[:, 0], min=0.0)
+
+
+# ---------------------------------------------------------------------------
 # Cassie biped term (cassie.py:42-46)
 # ---------------------------------------------------------------------------
 
@@ -354,4 +388,9 @@ REWARD_REGISTRY: Dict[str, Callable] = {
     "jump_zone_upward_vel": _reward_jump_zone_upward_vel,
     "min_height": _reward_min_height,
     "no_fly": _reward_no_fly,
+    "contact": _reward_g1_contact,
+    "feet_swing_height": _reward_feet_swing_height,
+    "alive": _reward_alive,
+    "contact_no_vel": _reward_contact_no_vel,
+    "forward_vel": _reward_forward_vel,
 }
