@@ -179,10 +179,10 @@ class LeggedRobotCfg(BaseConfig):
         gravity = [0.0, 0.0, -9.81]
         up_axis = 1
         # --- TPU engine (replaces the reference's `physx` block) ---
-        substeps = 4               # integrator substeps per torque update
-        contact_stiffness = 8000.0
-        contact_damping = 150.0
-        contact_friction_vel = 250.0
+        substeps = 2               # integrator substeps per torque update
+        contact_stiffness = 6000.0
+        contact_damping = 100.0
+        contact_friction_vel = 80.0
         joint_limit_stiffness = 60.0
         joint_limit_damping = 2.0
 

@@ -27,9 +27,9 @@ class ContactParams(NamedTuple):
     # Gains sized for explicit integration at the engine's substep dt with the
     # lightest contacting body (the 0.19 kg calf+foot): stability needs
     # c*dt/m_eff < 2 and sqrt(k/m_eff)*dt << 2 (see tests/test_engine.py).
-    stiffness: float = 8000.0    # [N/m] normal penetration spring
-    damping: float = 150.0       # [N s/m] normal velocity damping
-    friction_vel: float = 250.0  # [N s/m] tangential viscous slope (pre-saturation)
+    stiffness: float = 6000.0    # [N/m] normal penetration spring
+    damping: float = 100.0       # [N s/m] normal velocity damping
+    friction_vel: float = 80.0   # [N s/m] tangential viscous slope (pre-saturation)
     terrain_friction: float = 1.0  # combined (averaged) with per-env friction
 
 

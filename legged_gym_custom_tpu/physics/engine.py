@@ -44,7 +44,7 @@ class PhysicsState(NamedTuple):
 class SimParams(NamedTuple):
     dt: float = 0.005           # reference sim.dt (legged_robot_config.py:184)
     decimation: int = 4         # torque updates per control step
-    substeps: int = 4           # integrator substeps per torque update
+    substeps: int = 2           # integrator substeps per torque update
     gravity: tuple = (0.0, 0.0, -9.81)
     contact: ContactParams = ContactParams()
     joint_limit_stiffness: float = 60.0   # [N m / rad] penalty beyond URDF limit
@@ -220,7 +220,9 @@ def control_step(
         st, link_forces = jax.lax.scan(
             sub_body, st, None, length=params.substeps
         )
-        return (st, act_state, (link_forces[-1], tau)), None
+        # mean over substeps: the analog of PhysX contact_collection=2
+        # ("all sub-steps", legged_robot_config.py:200) and unaliased
+        return (st, act_state, (jnp.mean(link_forces, axis=0), tau)), None
 
     zero_info = (
         jnp.zeros((ma.n_links, 3) + bs, dtype=state.base_pos.dtype),
