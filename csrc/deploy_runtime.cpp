@@ -137,18 +137,44 @@ bool load_bundle(const char* path, Bundle* bd) {
   collect("policy", bd->policy_w, bd->policy_b);
   collect("estimator", bd->est_w, bd->est_b);
   collect("scan_encoder", bd->scan_w, bd->scan_b);
-  try {
-    bd->ad_w0 = &bd->arrays.at("adaptation_module/0/kernel");
-    bd->ad_b0 = &bd->arrays.at("adaptation_module/0/bias");
-    bd->ad_c1 = &bd->arrays.at("adaptation_module/1/convkernel");
-    bd->ad_cb1 = &bd->arrays.at("adaptation_module/1/bias");
-    bd->ad_c2 = &bd->arrays.at("adaptation_module/2/convkernel");
-    bd->ad_cb2 = &bd->arrays.at("adaptation_module/2/bias");
-    bd->ad_w1 = &bd->arrays.at("adaptation_module/3/kernel");
-    bd->ad_b1 = &bd->arrays.at("adaptation_module/3/bias");
-  } catch (...) {
-    return false;
+
+  // adaptation module: classify the 4 layers by kind/shape regardless of
+  // index order (flax export and torch import order them differently —
+  // mirrors NumpyAdaptationEncoder in deploy/controller.py)
+  bd->ad_w0 = bd->ad_b0 = bd->ad_c1 = bd->ad_cb1 = nullptr;
+  bd->ad_c2 = bd->ad_cb2 = bd->ad_w1 = bd->ad_b1 = nullptr;
+  for (int i = 0; i < 8; ++i) {
+    char kk[96], kc[96], kb[96];
+    std::snprintf(kk, sizeof kk, "adaptation_module/%d/kernel", i);
+    std::snprintf(kc, sizeof kc, "adaptation_module/%d/convkernel", i);
+    std::snprintf(kb, sizeof kb, "adaptation_module/%d/bias", i);
+    auto itb = bd->arrays.find(kb);
+    if (itb == bd->arrays.end()) continue;
+    auto itk = bd->arrays.find(kk);
+    auto itc = bd->arrays.find(kc);
+    if (itk != bd->arrays.end()) {
+      // dense: larger input dim = the per-step encoder (num_proprio wide)
+      if (!bd->ad_w0 || itk->second.dims[0] > bd->ad_w0->dims[0]) {
+        if (bd->ad_w0) { bd->ad_w1 = bd->ad_w0; bd->ad_b1 = bd->ad_b0; }
+        bd->ad_w0 = &itk->second;
+        bd->ad_b0 = &itb->second;
+      } else {
+        bd->ad_w1 = &itk->second;
+        bd->ad_b1 = &itb->second;
+      }
+    } else if (itc != bd->arrays.end()) {
+      // conv: wider kernel first
+      if (!bd->ad_c1 || itc->second.dims[0] > bd->ad_c1->dims[0]) {
+        if (bd->ad_c1) { bd->ad_c2 = bd->ad_c1; bd->ad_cb2 = bd->ad_cb1; }
+        bd->ad_c1 = &itc->second;
+        bd->ad_cb1 = &itb->second;
+      } else {
+        bd->ad_c2 = &itc->second;
+        bd->ad_cb2 = &itb->second;
+      }
+    }
   }
+  if (!bd->ad_w0 || !bd->ad_w1 || !bd->ad_c1 || !bd->ad_c2) return false;
   bd->num_proprio = (int)bd->ad_w0->dims[0];
   return !bd->policy_w.empty() && !bd->est_w.empty() && !bd->scan_w.empty();
 }
