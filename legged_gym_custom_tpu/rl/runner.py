@@ -311,7 +311,7 @@ class OnPolicyRunner:
         nets = self.nets
         params = self.train_state.params
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("adaptation_mode",))
         def act_inference(obs5, adaptation_mode: bool = True):
             estimated = nets.estimate(params, obs5.obs)
             return nets.action_mean(
