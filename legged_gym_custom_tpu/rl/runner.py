@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legged_gym_custom_tpu.models.networks import ActorCriticNetworks
+from legged_gym_custom_tpu.utils import checkpoint as checkpoint_lib
 from legged_gym_custom_tpu.parallel.mesh import make_mesh, shard_env_state
 from . import ppo as ppo_lib
 from .ppo import PPOConfig, Transition, TrainState
@@ -264,23 +265,46 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------------
     def save(self, path, infos=None):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        payload = {
-            "params": jax.tree.map(np.asarray, self.train_state.params),
-            "opt_state_policy": jax.tree.map(np.asarray, self.train_state.opt_state_policy),
-            "opt_state_adapt": jax.tree.map(np.asarray, self.train_state.opt_state_adapt),
-            "opt_state_est": jax.tree.map(np.asarray, self.train_state.opt_state_est),
+        """Checkpoint model + ALL THREE optimizer states + iteration.
+
+        Orbax directory format by default (multi-host sharded-array safe,
+        utils/checkpoint.py); single-file pickle fallback if orbax is
+        unavailable.  The reference saves only the main optimizer
+        (on_policy_runner.py:283-288) — fixed here.
+        """
+        arrays = {
+            "params": self.train_state.params,
+            "opt_state_policy": self.train_state.opt_state_policy,
+            "opt_state_adapt": self.train_state.opt_state_adapt,
+            "opt_state_est": self.train_state.opt_state_est,
+        }
+        meta = {
             "learning_rate": float(self.train_state.learning_rate),
             "total_updates": float(self.train_state.total_updates),
             "iter": self.current_learning_iteration,
             "infos": infos,
         }
+        if checkpoint_lib.have_orbax():
+            checkpoint_lib.save_checkpoint(path, arrays, meta)
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = dict(jax.tree.map(np.asarray, arrays), **meta)
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
     def load(self, path, load_optimizer=True):
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        if os.path.isdir(path):
+            target = {
+                "params": self.train_state.params,
+                "opt_state_policy": self.train_state.opt_state_policy,
+                "opt_state_adapt": self.train_state.opt_state_adapt,
+                "opt_state_est": self.train_state.opt_state_est,
+            }
+            arrays, meta = checkpoint_lib.load_checkpoint(path, target=target)
+            payload = dict(arrays, **meta)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
         ts = self.train_state
         params = jax.tree.map(jnp.asarray, payload["params"])
         ts = ts.replace(params=params)

@@ -1,0 +1,67 @@
+"""Orbax-backed checkpointing for training state.
+
+The reference pickles a single-state dict per checkpoint
+(rsl_rl/runners/on_policy_runner.py:283-297) and loses the adaptation /
+estimator optimizer states.  Here a checkpoint is a *directory*:
+
+    model_<it>.ckpt/
+        state/      # orbax PyTree checkpoint (multi-host sharded-array safe)
+        meta.json   # scalars: iteration, learning rate, total updates, infos
+
+Orbax writes sharded `jax.Array`s cooperatively from every host (each process
+persists only its addressable shards), which is what the multi-host mesh path
+(parallel/multihost.py) needs; the pickle format stays supported for loading
+old checkpoints (runner.load auto-detects file vs directory).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+try:  # orbax is baked into the image, but keep the fallback explicit
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def have_orbax() -> bool:
+    return _HAVE_ORBAX
+
+
+def save_checkpoint(path: str, arrays, metadata: dict) -> None:
+    """Save an array pytree + JSON-serializable metadata under `path`."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    state_dir = os.path.join(path, "state")
+    ckptr.save(state_dir, arrays, force=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path: str, target=None):
+    """Restore (arrays, metadata) written by `save_checkpoint`.
+
+    `target`: optional pytree with the desired structure (e.g. optax
+    NamedTuple optimizer states) — orbax otherwise returns plain nested
+    dicts, which would not round-trip into the TrainState.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    item = None
+    if target is not None:
+        item = jax.tree.map(np.asarray, target)
+    arrays = ckptr.restore(os.path.join(path, "state"), item=item)
+    arrays = jax.tree.map(np.asarray, arrays)
+    meta_path = os.path.join(path, "meta.json")
+    metadata = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return arrays, metadata
