@@ -30,3 +30,20 @@ LEGGED_GYM_TPU_ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file
 LEGGED_GYM_RESOURCES_DIR = os.environ.get(
     "LEGGED_GYM_RESOURCES", "/root/reference/resources"
 )
+
+# Escape hatch for hosts whose sitecustomize pre-imports jax and pins an
+# accelerator platform (overriding JAX_PLATFORMS): LGC_FORCE_PLATFORM=cpu
+# re-points the live jax config and clears the already-initialized backends.
+# Combine with XLA_FLAGS=--xla_force_host_platform_device_count=N for a
+# virtual multi-device CPU mesh (the tests' conftest does the same).
+_force = os.environ.get("LGC_FORCE_PLATFORM")
+if _force:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _force)
+    try:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+    except Exception:  # pragma: no cover - jax version differences
+        pass

@@ -40,5 +40,11 @@ def register_optional_tasks():
 
 try:
     register_optional_tasks()
-except Exception:  # assets or configs not available yet
-    pass
+except Exception as _e:  # assets or configs not available yet
+    import warnings
+
+    warnings.warn(
+        f"optional tasks (anymal/cassie/g1) failed to register: {_e!r}; "
+        "only go2 tasks are available",
+        stacklevel=2,
+    )

@@ -16,13 +16,15 @@ Pure-functional re-design of the reference PPO (rsl_rl/algorithms/ppo.py):
     value bootstrapping (:165-166), max-std clamp (:301-307).
 
 The rollout buffer is just the stacked pytree produced by `lax.scan` over the
-env step — no mutable storage class.  Gradients are `pmean`-reduced over the
-mesh 'data' axis when run under shard_map (rl/runner.py).
+env step — no mutable storage class.  Multi-device: the env batch is sharded
+on the mesh 'data' axis and parameters are replicated; XLA's GSPMD partitioner
+inserts the all-reduce over ICI for every batch-mean (grads, advantage stats)
+automatically — verified by the compiled-HLO check in tests/test_sharding.py.
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -167,7 +169,7 @@ def gaussian_entropy(std):
     return jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * std**2), axis=-1)
 
 
-def compute_gae(traj: Transition, last_values, gamma, lam, axis_name=None):
+def compute_gae(traj: Transition, last_values, gamma, lam):
     """GAE over the (T, B) trajectory (rollout_storage.py:110-124)."""
     def body(carry, t):
         adv_next, v_next = carry
@@ -185,9 +187,6 @@ def compute_gae(traj: Transition, last_values, gamma, lam, axis_name=None):
     returns = advantages + traj.values
     mean = jnp.mean(advantages)
     var = jnp.mean((advantages - mean) ** 2)
-    if axis_name is not None:
-        mean = jax.lax.pmean(mean, axis_name)
-        var = jax.lax.pmean(var, axis_name)
     norm_adv = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
     return returns, norm_adv
 
@@ -205,12 +204,18 @@ def ppo_update(
     returns,
     advantages,
     key,
-    axis_name: Optional[str] = None,
+    axis_name=None,
 ):
     """Full PPO update: epochs x minibatches (reference ppo.py:182-293).
 
     traj leaves are (T, B, ...); flattened to (T*B, ...) and permuted once
     (same permutation reused across epochs, rollout_storage.py:142).
+
+    `axis_name`: set when running under `shard_map` over the mesh 'data'
+    axis (rl/runner.py) — each device permutes and minibatches its *local*
+    env shard (zero data movement) and gradients/metrics are pmean-reduced
+    over ICI, the TPU analog of the reference's dead horovod path
+    (SURVEY §2.5(b)).
     """
     T, B = traj.rewards.shape
     batch = T * B
@@ -220,6 +225,8 @@ def ppo_update(
     flat = jax.tree.map(lambda x: x.reshape((batch,) + x.shape[2:]), traj)
     returns_f = returns.reshape(batch)
     adv_f = advantages.reshape(batch)
+    if axis_name is not None:  # decorrelate the per-device local permutations
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, batch)[: nmb * mb_size]
 
     data = (flat, returns_f, adv_f)
@@ -302,6 +309,8 @@ def ppo_update(
         )
         g_policy, g_est = grads
         if axis_name is not None:
+            # ICI gradient reduction; aux is reduced too so the adaptive-KL
+            # LR below evolves identically on every device
             g_policy = jax.lax.pmean(g_policy, axis_name)
             g_est = jax.lax.pmean(g_est, axis_name)
             aux = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), aux)
@@ -352,15 +361,20 @@ def dagger_update(
     ts: TrainState,
     traj: Transition,
     key,
-    axis_name: Optional[str] = None,
+    axis_name=None,
 ):
-    """Adaptation-encoder distillation (reference ppo.py:309-349)."""
+    """Adaptation-encoder distillation (reference ppo.py:309-349).
+
+    `axis_name`: see ppo_update — device-local minibatches, pmean'd grads.
+    """
     T, B = traj.rewards.shape
     batch = T * B
     nmb = cfg.num_mini_batches
     mb_size = batch // nmb
     flat_obs = traj.obs.reshape((batch,) + traj.obs.shape[2:])
     flat_priv = traj.privileged.reshape((batch,) + traj.privileged.shape[2:])
+    if axis_name is not None:  # decorrelate the per-device local permutations
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, batch)[: nmb * mb_size]
     _, adapt_opt, _ = make_optimizers(cfg)
 
@@ -381,7 +395,7 @@ def dagger_update(
         adapt_params = _subset(params, ("adapt_encoder",))
         loss, grads = jax.value_and_grad(loss_fn)(adapt_params, obs, priv, params)
         if axis_name is not None:
-            grads = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), grads)
+            grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
         updates, opt_a2 = adapt_opt.update(grads, opt_a, adapt_params)
         adapt_params = optax.apply_updates(adapt_params, updates)

@@ -2,10 +2,12 @@
 
 One *iteration* = 24-step rollout (`lax.scan` over the env step + policy act)
 followed by either a PPO update or a DAgger update (every dagger_update_freq
-iterations, on_policy_runner.py:147,182-186).  The whole iteration is a single
-jitted function; with a multi-device mesh it runs under `shard_map` with the
-env batch sharded on the 'data' axis and parameters replicated, gradients
-pmean-reduced over ICI (SURVEY §2.5 TPU obligations).
+iterations, on_policy_runner.py:147,182-186).  The iteration runs as two
+jitted phases (collection / learning) so their wall-clock split can be
+reported like the reference's Perf scalars.  With a multi-device mesh the env
+batch is placed on the 'data' axis and parameters replicated; XLA's GSPMD
+partitioner inserts the ICI all-reduces for gradient/statistics means
+(SURVEY §2.5; asserted on compiled HLO by tests/test_sharding.py).
 
 Logging keeps the reference's TensorBoard scalar names
 (on_policy_runner.py:221-239) and console block; checkpoints store model +
@@ -34,7 +36,7 @@ from .ppo import PPOConfig, Transition, TrainState
 
 class OnPolicyRunner:
     def __init__(self, env, train_cfg, log_dir: Optional[str] = None,
-                 use_mesh: bool = True, writer=None):
+                 use_mesh: bool = True, writer=None, mesh=None):
         self.env = env
         self.cfg = train_cfg.runner
         self.alg_cfg = train_cfg.algorithm
@@ -63,7 +65,10 @@ class OnPolicyRunner:
         self.key, init_key = jax.random.split(self.key)
         self.train_state = ppo_lib.init_train_state(self.nets, self.ppo_cfg, init_key)
 
-        self.mesh = make_mesh(env.cfg.parallel) if use_mesh else None
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            self.mesh = make_mesh(env.cfg.parallel) if use_mesh else None
         self._build_train_fns()
 
         self.tot_timesteps = 0
@@ -118,48 +123,121 @@ class OnPolicyRunner:
             )
             return env_state, obs, traj, logs
 
-        def train_iteration(ts, env_state, obs, key, adaptation_mode: bool):
-            key, k_roll, k_upd = jax.random.split(key, 3)
+        def collect_phase(ts, env_state, obs, key, adaptation_mode: bool):
+            """Rollout + GAE (the reference's 'collection' half,
+            on_policy_runner.py:149-181)."""
             env_state, obs, traj, logs = rollout(
-                ts, env_state, obs, k_roll, adaptation_mode
+                ts, env_state, obs, key, adaptation_mode
             )
             last_values = nets.value(ts.params, obs.critic)
             returns, advantages = ppo_lib.compute_gae(
                 traj, last_values, cfg.gamma, cfg.lam
             )
+            return env_state, obs, traj, returns, advantages, logs
+
+        def update_phase(ts, traj, returns, advantages, key,
+                         adaptation_mode: bool, axis_name=None):
+            """PPO or DAgger update (the reference's 'learning' half)."""
             if adaptation_mode:
-                ts, metrics = ppo_lib.dagger_update(nets, cfg, ts, traj, k_upd)
+                ts, metrics = ppo_lib.dagger_update(
+                    nets, cfg, ts, traj, key, axis_name=axis_name
+                )
             else:
                 ts, metrics = ppo_lib.ppo_update(
-                    nets, cfg, ts, traj, returns, advantages, k_upd
+                    nets, cfg, ts, traj, returns, advantages, key,
+                    axis_name=axis_name,
                 )
             metrics = dict(metrics)
-            metrics["mean_reward_step"] = jnp.mean(logs["rewards"])
             metrics["mean_std"] = jnp.mean(ts.params["std"])
-            return ts, env_state, obs, metrics, logs
+            return ts, metrics
 
-        if self.mesh is not None and np.prod(self.mesh.devices.shape) > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        # Two jitted phases (collection / learning) so the runner can report
+        # the reference's Perf/collection_time vs Perf/learning_time split
+        # honestly (on_policy_runner.py:175-189,230-232).
+        #
+        # Collection: sharding comes from input placement — `_shard_state`
+        # puts the env batch on the 'data' mesh axis and XLA's GSPMD
+        # partitioner keeps the whole rollout device-local, inserting the
+        # ICI all-reduce only for the advantage-normalization statistics.
+        #
+        # Learning: runs under `shard_map` over the 'data' axis so each
+        # device permutes and minibatches its *local* (T, B/n) trajectory
+        # shard (zero cross-chip data movement) and only the gradients and
+        # scalar metrics cross ICI via pmean — plain GSPMD would instead
+        # all-gather the flattened batch to every device because of the
+        # random-permutation gather.  Both facts are asserted on compiled
+        # HLO by tests/test_sharding.py.
+        self._collect = {
+            mode: jax.jit(
+                functools.partial(collect_phase, adaptation_mode=mode),
+                donate_argnums=(1, 2),
+            )
+            for mode in (False, True)
+        }
+        multi = self.mesh is not None and np.prod(self.mesh.devices.shape) > 1
+        if multi:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            if env.num_envs % n_dev != 0:
+                raise ValueError(
+                    f"num_envs ({env.num_envs}) must be divisible by the mesh "
+                    f"size ({n_dev}): shard_map would otherwise silently pad "
+                    "the env shards and mis-weight per-device batch means"
+                )
+            from jax.sharding import PartitionSpec as P
 
-            data = P("data")
-            rep = NamedSharding(self.mesh, P())
-            self._train_it = {
+            axis = self.mesh.axis_names[0]
+            data2 = P(None, axis)  # (T, B, ...) leaves sharded on B
+            # only ts (argnums 0) is donated: the update's outputs (new
+            # params/opt states) alias its buffers; traj/returns have no
+            # matching outputs so donating them is a no-op
+            self._update = {
                 mode: jax.jit(
-                    functools.partial(train_iteration, adaptation_mode=mode),
-                    donate_argnums=(1,),
+                    jax.shard_map(
+                        functools.partial(
+                            update_phase, adaptation_mode=mode, axis_name=axis
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(P(), data2, data2, data2, P()),
+                        out_specs=(P(), P()),
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0,),
                 )
                 for mode in (False, True)
             }
             self._shard_state = lambda s: shard_env_state(self.mesh, s)
         else:
-            self._train_it = {
+            self._update = {
                 mode: jax.jit(
-                    functools.partial(train_iteration, adaptation_mode=mode),
-                    donate_argnums=(1,),
+                    functools.partial(update_phase, adaptation_mode=mode),
+                    donate_argnums=(0,),
                 )
                 for mode in (False, True)
             }
             self._shard_state = lambda s: s
+        # composite iteration (same signature the bench/dryrun callers use)
+        self._train_it = {
+            mode: functools.partial(self._run_iteration, mode)
+            for mode in (False, True)
+        }
+        self._collection_time = 0.0
+        self._learn_time = 0.0
+
+    def _run_iteration(self, mode, ts, env_state, obs, key, timeit=False):
+        k_roll, k_upd = jax.random.split(key)
+        t0 = time.time()
+        env_state, obs, traj, returns, advantages, logs = self._collect[mode](
+            ts, env_state, obs, k_roll
+        )
+        if timeit:
+            jax.block_until_ready(returns)
+            self._collection_time = time.time() - t0
+        t1 = time.time()
+        ts, metrics = self._update[mode](ts, traj, returns, advantages, k_upd)
+        if timeit:
+            jax.block_until_ready(metrics)
+            self._learn_time = time.time() - t1
+        return ts, env_state, obs, metrics, logs
 
     # ------------------------------------------------------------------
     def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = False):
@@ -190,10 +268,20 @@ class OnPolicyRunner:
             start = time.time()
             use_adaptation = it % self.dagger_update_freq == 0
             self.key, k_it = jax.random.split(self.key)
-            self.train_state, self.env_state, self.obs, metrics, logs = self._train_it[
-                use_adaptation
-            ](self.train_state, self.env_state, self.obs, k_it)
-            jax.block_until_ready(metrics)
+            (
+                self.train_state,
+                self.env_state,
+                self.obs,
+                metrics,
+                logs,
+            ) = self._run_iteration(
+                use_adaptation,
+                self.train_state,
+                self.env_state,
+                self.obs,
+                k_it,
+                timeit=True,
+            )
             iter_time = time.time() - start
 
             # episode bookkeeping (host side)
@@ -237,8 +325,8 @@ class OnPolicyRunner:
             self.writer.add_scalar("Loss/learning_rate", m.get("learning_rate", 0.0), it)
             self.writer.add_scalar("Policy/mean_noise_std", m.get("mean_std", 0.0), it)
             self.writer.add_scalar("Perf/total_fps", fps, it)
-            self.writer.add_scalar("Perf/collection time", iter_time, it)
-            self.writer.add_scalar("Perf/learning_time", iter_time, it)
+            self.writer.add_scalar("Perf/collection time", self._collection_time, it)
+            self.writer.add_scalar("Perf/learning_time", self._learn_time, it)
             if len(rewbuffer) > 0:
                 self.writer.add_scalar("Train/mean_reward", float(np.mean(rewbuffer)), it)
                 self.writer.add_scalar(
@@ -248,7 +336,8 @@ class OnPolicyRunner:
         lines = [
             "#" * width,
             head.center(width),
-            f"{'Computation:':>{pad}} {fps:.0f} steps/s (iteration {iter_time:.3f}s)",
+            f"{'Computation:':>{pad}} {fps:.0f} steps/s (collection: "
+            f"{self._collection_time:.3f}s, learning {self._learn_time:.3f}s)",
             f"{'Value function loss:':>{pad}} {m.get('value_loss', 0.0):.4f}",
             f"{'Surrogate loss:':>{pad}} {m.get('surrogate_loss', 0.0):.4f}",
             f"{'Adaptation loss:':>{pad}} {m.get('adaptation_loss', 0.0):.4f}",
@@ -287,7 +376,9 @@ class OnPolicyRunner:
         if checkpoint_lib.have_orbax():
             checkpoint_lib.save_checkpoint(path, arrays, meta)
             return
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         payload = dict(jax.tree.map(np.asarray, arrays), **meta)
         with open(path, "wb") as f:
             pickle.dump(payload, f)

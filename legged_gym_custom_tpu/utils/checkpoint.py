@@ -42,7 +42,10 @@ def save_checkpoint(path: str, arrays, metadata: dict) -> None:
     ckptr.save(state_dir, arrays, force=True)
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(metadata, f)
+            # `default=str` keeps non-JSON infos (arrays, custom objects — the
+            # reference's torch.save accepted anything) from aborting the save
+            # after the state directory has already been written.
+            json.dump(metadata, f, default=str)
 
 
 def load_checkpoint(path: str, target=None):
@@ -50,15 +53,24 @@ def load_checkpoint(path: str, target=None):
 
     `target`: optional pytree with the desired structure (e.g. optax
     NamedTuple optimizer states) — orbax otherwise returns plain nested
-    dicts, which would not round-trip into the TrainState.
+    dicts, which would not round-trip into the TrainState.  When the target
+    leaves are (possibly sharded) `jax.Array`s, restore_args are constructed
+    from their shardings so orbax re-shards onto the *current* mesh instead
+    of materializing host-local numpy copies (which raises for
+    non-addressable arrays on a multi-host mesh).
     """
+    if not _HAVE_ORBAX:
+        raise RuntimeError(
+            f"orbax is required to load directory checkpoints: {path}"
+        )
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    item = None
+    state_dir = os.path.join(path, "state")
     if target is not None:
-        item = jax.tree.map(np.asarray, target)
-    arrays = ckptr.restore(os.path.join(path, "state"), item=item)
-    arrays = jax.tree.map(np.asarray, arrays)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        arrays = ckptr.restore(state_dir, item=target, restore_args=restore_args)
+    else:
+        arrays = jax.tree.map(np.asarray, ckptr.restore(state_dir))
     meta_path = os.path.join(path, "meta.json")
     metadata = {}
     if os.path.exists(meta_path):
