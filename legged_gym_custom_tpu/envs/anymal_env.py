@@ -25,8 +25,10 @@ class AnymalEnv(LeggedEnv):
         default = self.default_dof_pos
 
         def torque_fn(actions, dof_pos, dof_vel, act_state):
+            # SoA layout: dof arrays are (ndof,)+bs, default is (ndof,)
             hidden, cell = act_state
-            pos_err = actions * action_scale + default - dof_pos
+            d = default.reshape(default.shape + (1,) * (dof_pos.ndim - 1))
+            pos_err = actions * action_scale + d - dof_pos
             tau, hidden, cell = lstm_actuator(weights, pos_err, dof_vel, hidden, cell)
             return tau, (hidden, cell)
 

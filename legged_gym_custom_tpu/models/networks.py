@@ -34,6 +34,19 @@ _ACTIVATIONS = {
 }
 
 
+def _safe_lecun_normal(key, shape, dtype=jnp.float32):
+    """flax's default Dense init, tolerating zero fan-in.
+
+    The reference instantiates the scan encoder even for tasks with
+    num_scan_obs = 0 (legged_robot_config.py:7, actor_critic.py:120-122) —
+    torch Linear(0, h) is a bias-only layer; variance-scaling init would
+    divide by fan_in == 0 here, so empty kernels are returned directly.
+    """
+    if shape[0] == 0:
+        return jnp.zeros(shape, dtype)
+    return nn.initializers.lecun_normal()(key, shape, dtype)
+
+
 class MLP(nn.Module):
     hidden_dims: Sequence[int]
     out_dim: int
@@ -43,8 +56,8 @@ class MLP(nn.Module):
     def __call__(self, x):
         act = _ACTIVATIONS[self.activation]
         for h in self.hidden_dims:
-            x = act(nn.Dense(h)(x))
-        return nn.Dense(self.out_dim)(x)
+            x = act(nn.Dense(h, kernel_init=_safe_lecun_normal)(x))
+        return nn.Dense(self.out_dim, kernel_init=_safe_lecun_normal)(x)
 
 
 class Actor(nn.Module):
@@ -108,6 +121,14 @@ class AdaptationEncoder(nn.Module):
     Input: the *history part* of the obs buffer reshaped to (B, H, P); the
     reference slices `obs[:, :-P]` (actor_critic.py:174-180) — history only,
     current obs excluded.
+
+    Short histories: the reference hardcodes the post-conv flatten width to
+    30 (support_networks.py:166 `nn.Linear(3*channel_size, ...)`), which only
+    holds for H = 10; with the base/anymal H = 5 its second conv would see a
+    length-1 sequence and crash, making those tasks untrainable upstream.
+    Here each conv is applied only when the sequence is long enough for its
+    kernel, so every H >= 1 works and H = 10 reproduces the reference stack
+    exactly (10 -> conv k4s2 -> 4 -> conv k2s1 -> 3 -> flatten 30).
     """
 
     num_proprio: int
@@ -121,8 +142,13 @@ class AdaptationEncoder(nn.Module):
         act = _ACTIVATIONS[self.activation]
         c = self.channel_size
         x = act(nn.Dense(3 * c)(obs_history))            # (B, H, 3c)
-        x = act(nn.Conv(2 * c, kernel_size=(4,), strides=(2,), padding="VALID")(x))
-        x = act(nn.Conv(c, kernel_size=(2,), strides=(1,), padding="VALID")(x))
+        length = self.history_buffer_length
+        if length >= 4:
+            x = act(nn.Conv(2 * c, kernel_size=(4,), strides=(2,), padding="VALID")(x))
+            length = (length - 4) // 2 + 1
+        if length >= 2:
+            x = act(nn.Conv(c, kernel_size=(2,), strides=(1,), padding="VALID")(x))
+            length = length - 1
         # torch flattens channel-major (B, C, L); transpose to match so that
         # converted reference weights stay compatible
         x = jnp.swapaxes(x, -1, -2).reshape(x.shape[:-2] + (-1,))

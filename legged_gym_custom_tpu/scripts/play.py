@@ -25,7 +25,53 @@ def get_args(argv=None):
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--export", action="store_true", default=True)
     p.add_argument("--plot", action="store_true")
+    p.add_argument(
+        "--record_scan",
+        default=None,
+        metavar="PATH",
+        help="record jump-flag-synced scandot frames of env 0 to PATH in the "
+        "SCAN_*.txt deploy-replay format (reference play.py:61-104)",
+    )
     return p.parse_args(argv)
+
+
+class ScanCapture:
+    """Record jump-flag-synced scandot frames for deploy fake-scan replay.
+
+    The reference keeps this as a commented block in the env
+    (go2.py:540-559, README.md:57-61): while env 0's jump flag is raised,
+    write the gait-phase sync scalar once (`[phase]`) and then one
+    132-float frame per control step; when the flag drops after having been
+    raised, stop.  The output is exactly what
+    `deploy.controller.parse_scan_trace` reads and the replay state machine
+    feeds to the scan encoder (deploy_base.py:59-143, SCAN_v12_ft_iii.txt).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.started = False
+        self.complete = False
+        open(path, "w").close()
+
+    def update(self, jump_flag: bool, phase: float, scan: np.ndarray) -> None:
+        if self.complete:
+            return
+        if jump_flag:
+            with open(self.path, "a") as f:
+                if not self.started:
+                    f.write(f"[{float(phase)}]\n\n")
+                    self.started = True
+                f.write(
+                    np.array2string(
+                        np.asarray(scan, np.float32), threshold=10_000
+                    )
+                    + "\n\n"
+                )
+        elif self.started:
+            self.complete = True
+            print(
+                f"SCAN LOGGING COMPLETE — trace written to {self.path}"
+            )
 
 
 def play(args):
@@ -68,12 +114,19 @@ def play(args):
         print(f"Exported policy bundle to: {export_dir}")
 
     logger = Logger(env.dt)
+    capture = ScanCapture(args.record_scan) if args.record_scan else None
+    period = getattr(env.cfg.env, "period", 0.45)
     key = jax.random.PRNGKey(0)
     state, obs = env.reset_all(key)
     step = jax.jit(env.step)
     for i in range(args.steps):
         actions = policy(obs, adaptation_mode=True)
         state, obs, rew, done, info = step(state, actions)
+        if capture is not None:
+            phase0 = (float(state.episode_length[0]) * env.dt % period) / period
+            capture.update(
+                bool(state.jump_flags[0] > 0.0), phase0, np.asarray(obs.scan[0])
+            )
         logger.log_states(
             dict(
                 dof_pos_target=float(actions[0, 2]) * env.cfg.control.action_scale,

@@ -33,13 +33,38 @@ def have_orbax() -> bool:
     return _HAVE_ORBAX
 
 
+def _pack_empty(tree):
+    """Swap zero-size leaves for 1-element placeholders.
+
+    Tasks with a zero-width obs stream (e.g. anymal's num_scan_obs = 0,
+    mirroring reference legged_robot_config.py:7) carry empty (0, h) kernels
+    in params/opt states; orbax refuses to serialize zero-size arrays.  The
+    placeholders carry no information — `_unpack_empty` rebuilds the empties
+    from the restore target's shapes.
+    """
+    return jax.tree.map(
+        lambda x: x if np.asarray(x).size else np.zeros((1,), np.asarray(x).dtype),
+        tree,
+    )
+
+
+def _unpack_empty(restored, target):
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda r, t: r if np.asarray(t).size else jnp.zeros(t.shape, t.dtype),
+        restored,
+        target,
+    )
+
+
 def save_checkpoint(path: str, arrays, metadata: dict) -> None:
     """Save an array pytree + JSON-serializable metadata under `path`."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.PyTreeCheckpointer()
     state_dir = os.path.join(path, "state")
-    ckptr.save(state_dir, arrays, force=True)
+    ckptr.save(state_dir, _pack_empty(arrays), force=True)
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
             # `default=str` keeps non-JSON infos (arrays, custom objects — the
@@ -67,8 +92,10 @@ def load_checkpoint(path: str, target=None):
     ckptr = ocp.PyTreeCheckpointer()
     state_dir = os.path.join(path, "state")
     if target is not None:
-        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
-        arrays = ckptr.restore(state_dir, item=target, restore_args=restore_args)
+        packed = _pack_empty(target)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(packed)
+        restored = ckptr.restore(state_dir, item=packed, restore_args=restore_args)
+        arrays = _unpack_empty(restored, target)
     else:
         arrays = jax.tree.map(np.asarray, ckptr.restore(state_dir))
     meta_path = os.path.join(path, "meta.json")

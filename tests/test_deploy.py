@@ -184,3 +184,62 @@ def test_parse_reference_scan_trace():
     sync, frames = parse_scan_trace(path)
     assert 0.0 <= sync <= 1.0
     assert all(len(f) == 132 for f in frames)
+
+
+def test_scan_capture_roundtrip(exported, tmp_path):
+    """play.py's ScanCapture -> parse_scan_trace -> controller replay.
+
+    Captures real scandot frames from a go2_parkour rollout (jump-flag
+    window injected so the tool triggers without a trained policy), then
+    replays the written trace through the deploy state machine — closing
+    the loop the reference only documents (play.py:61-104, go2.py:540-559,
+    deploy_base.py:59-143)."""
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_custom_tpu.envs import task_registry
+    from legged_gym_custom_tpu.scripts.play import ScanCapture
+    from legged_gym_custom_tpu.deploy.controller import parse_scan_trace
+
+    env_cfg, _ = task_registry.get_cfgs("go2_parkour")
+    env_cfg.env.num_envs = 2
+    env_cfg.terrain.num_rows = 2
+    env_cfg.terrain.num_cols = 2
+    env = task_registry.get_task_class("go2_parkour")(
+        env_cfg, env_cfg.asset.file, name="go2_parkour"
+    )
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset_all(key)
+    step = jax.jit(env.step)
+
+    path = str(tmp_path / "SCAN_captured.txt")
+    cap = ScanCapture(path)
+    period = env.cfg.env.period
+    want_frames, want_sync = [], None
+    for i in range(8):
+        state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
+        flag = 1 <= i <= 5  # synthetic jump window over real scan obs
+        phase = (float(state.episode_length[0]) * env.dt % period) / period
+        frame = np.asarray(obs.scan[0])
+        if flag:
+            if want_sync is None:
+                want_sync = phase
+            want_frames.append(frame.copy())
+        cap.update(flag, phase, frame)
+    assert cap.complete
+
+    sync, frames = parse_scan_trace(path)
+    np.testing.assert_allclose(sync, want_sync, atol=1e-7)
+    assert len(frames) == len(want_frames)
+    np.testing.assert_allclose(
+        np.asarray(frames), np.asarray(want_frames), atol=1e-6
+    )
+
+    # the captured trace drives the deploy replay machine
+    nets, params, bundle_path = exported
+    c = _TestController(_FakeCfg(), bundle_path, scan_trace_path=path)
+    c.jump_button_pressed = True
+    c.phase = sync  # phase-synced
+    s = c._get_scan_obs()
+    assert c.mode == "REPLAY"
+    np.testing.assert_allclose(s, np.asarray(want_frames[0]), atol=1e-6)
