@@ -145,3 +145,43 @@ def run(cfg: ConfigParser, bundle_path: str, duration_s: float = 10.0,
     if v is not None:
         v.close()
     return {k: np.asarray(vv) for k, vv in traj.items()}
+
+
+def main(argv=None):
+    """CLI mirror of the reference's deploy_mujoco.py entry (its __main__ takes
+    a yaml config and opens the viewer; here --headless/--seconds make the
+    same loop scriptable for CI and benches)."""
+    import argparse
+
+    ap = argparse.ArgumentParser("legged_gym_custom_tpu mujoco deploy")
+    ap.add_argument("--config", default="deploy_configs/go2.yaml")
+    ap.add_argument("--bundle", default=None,
+                    help="policy bundle .npz (default: config's bundle_path)")
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--headless", action="store_true")
+    ap.add_argument("--realtime", action="store_true")
+    ap.add_argument("--cmd", type=float, nargs=3, default=[0.8, 0.0, 0.0],
+                    metavar=("VX", "VY", "WZ"),
+                    help="fixed command when no gamepad is attached")
+    ap.add_argument("--scan_trace", default=None)
+    args = ap.parse_args(argv)
+
+    cfg = ConfigParser(args.config)
+    bundle = args.bundle or cfg.bundle_path
+    cmd = np.asarray(args.cmd, np.float32)
+    traj = run(
+        cfg, bundle, duration_s=args.seconds, viewer=not args.headless,
+        realtime=args.realtime, command_source=lambda: cmd,
+        scan_trace_path=args.scan_trace,
+    )
+    qpos = traj["qpos"]
+    dx = qpos[-1, 0] - qpos[0, 0]
+    dy = qpos[-1, 1] - qpos[0, 1]
+    print(
+        f"ran {args.seconds:.1f}s: dx={dx:.3f} m dy={dy:.3f} m "
+        f"min_z={qpos[:, 2].min():.3f} final_z={qpos[-1, 2]:.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

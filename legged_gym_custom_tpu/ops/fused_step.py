@@ -1,0 +1,736 @@
+"""Pallas TPU kernel: the fully-fused flat-plane physics control step.
+
+This is the hot loop of training (reference legged_robot.py:79-85 — the
+`for _ in range(decimation): compute torques; gym.simulate` block).  The XLA
+path (physics/engine.py::control_step) expresses one 50 Hz control step as
+~8 unrolled Featherstone substeps over (6,6,B)-style component-major arrays;
+XLA fuses the elementwise chains but still materializes dozens of
+O(bodies x 36 x B) intermediates in HBM between fusions, so the substep is
+HBM-bandwidth-bound (docs/architecture.md "TPU layout" table).
+
+This kernel instead runs the *entire* control step — PD torques, forward
+kinematics, flat-plane penalty contact, joint-limit torques, articulated-body
+dynamics and semi-implicit Euler integration, all decimation x substeps of it
+— inside one `pallas_call` over env-batch tiles.  Per grid program, a TILE-env
+slice of the state lives in VMEM/registers for all 8 substeps; HBM traffic is
+exactly the 37-float state + 30-float domain-rand params in and the state +
+contact report out.
+
+Implementation style: "component-scalarized".  Every per-env quantity is a
+1-D (TILE,) f32 array; vectors are Python lists of 3/6 such arrays, matrices
+nested lists.  All model constants (tree structure, joint frames, inertias,
+PD gains, limits) are baked in as Python floats at trace time.  The result is
+a pure elementwise dataflow — no einsum/stack/concat/scatter — which lowers
+to straight VPU code under Mosaic.  The math mirrors physics/algorithms.py
+(ABA/FK), physics/contact.py (penalty contact, plane case) and
+physics/engine.py (integration, loop structure) term for term; parity is
+asserted by tests/test_fused_step.py against the XLA path.
+
+Scope: flat-plane terrain (the `go2` flat task, heightfield.is_plane), PD
+torque control, 1-D env batch.  Heightfield terrain keeps the XLA path (the
+bilinear terrain lookup is a gather, which the TPU vector unit has no lane-
+parallel primitive for).  Selection logic lives in `maybe_fused_control_step`;
+the env/engine fall back transparently.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------
+# Component algebra on lists of (TILE,) arrays (entries may fold to floats)
+# --------------------------------------------------------------------------
+
+
+def _mv(M, v):
+    """[n x m] @ [m] -> [n]; entries are (TILE,) arrays or python floats."""
+    return [sum(M[i][j] * v[j] for j in range(len(v))) for i in range(len(M))]
+
+
+def _mtv(M, v):
+    return [sum(M[j][i] * v[j] for j in range(len(v))) for i in range(len(M[0]))]
+
+
+def _mm(A, B):
+    n, k, m = len(A), len(B), len(B[0])
+    return [[sum(A[i][t] * B[t][j] for t in range(k)) for j in range(m)] for i in range(n)]
+
+
+def _cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _vadd(a, b):
+    return [x + y for x, y in zip(a, b)]
+
+
+def _vsub(a, b):
+    return [x - y for x, y in zip(a, b)]
+
+
+def _vscale(a, s):
+    return [x * s for x in a]
+
+
+def _hat(v):
+    return [
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ]
+
+
+def _quat_to_matrix(q):
+    """world <- body rotation from wxyz quat components."""
+    w, x, y, z = q
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def _xform_motion(E, p, m):
+    """Spatial motion transform (soa.xform_motion): p is a float 3-list."""
+    w = m[0:3]
+    v = m[3:6]
+    return _mv(E, w) + _mv(E, _vsub(v, _cross(p, w)))
+
+
+def _inv_xform_force(E, p, f):
+    n = _mtv(E, f[0:3])
+    ff = _mtv(E, f[3:6])
+    return _vadd(n, _cross(p, ff)) + ff
+
+
+def _inv3(M):
+    """Closed-form 3x3 inverse (soa.inv3)."""
+    a, b, c = M[0]
+    d, e, f = M[1]
+    g, h, i = M[2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    return [
+        [A * inv_det, B * inv_det, C * inv_det],
+        [D * inv_det, E * inv_det, F * inv_det],
+        [G * inv_det, H * inv_det, I * inv_det],
+    ]
+
+
+def _solve66(A, b):
+    """SPD 6x6 solve via 3x3 Schur blocks (soa.solve66)."""
+    A11 = [row[0:3] for row in A[0:3]]
+    A12 = [row[3:6] for row in A[0:3]]
+    A21 = [row[0:3] for row in A[3:6]]
+    A22 = [row[3:6] for row in A[3:6]]
+    b1, b2 = b[0:3], b[3:6]
+    A11i = _inv3(A11)
+    S = [
+        [A22[i][j] - _dot(A21[i], _mv(A11i, [A12[0][j], A12[1][j], A12[2][j]])) for j in range(3)]
+        for i in range(3)
+    ]
+    Si = _inv3(S)
+    x2 = _mv(Si, _vsub(b2, _mv(A21, _mv(A11i, b1))))
+    x1 = _mv(A11i, _vsub(b1, _mv(A12, x2)))
+    return x1 + x2
+
+
+def _crm(v, m):
+    w, vl = v[0:3], v[3:6]
+    mw, ml = m[0:3], m[3:6]
+    return _cross(w, mw) + _vadd(_cross(w, ml), _cross(vl, mw))
+
+
+def _crf(v, f):
+    w, vl = v[0:3], v[3:6]
+    n, ff = f[0:3], f[3:6]
+    return _vadd(_cross(w, n), _cross(vl, ff)) + _cross(w, ff)
+
+
+def _inertia_mul(m, h, I, v):
+    """Spatial inertia (m, h 3-list, I 3x3) applied to motion v (6-list)."""
+    w, vl = v[0:3], v[3:6]
+    top = _vadd(_mv(I, w), _cross(h, vl))
+    bot = _vsub(_vscale(vl, m), _cross(h, w))
+    return top + bot
+
+
+def _inertia_to_mat66(m, h, I):
+    hx = _hat(h)
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = I[i][j]
+            out[i][3 + j] = hx[i][j]
+            out[3 + i][j] = -hx[i][j]
+        out[3 + i][3 + i] = m
+    return out
+
+
+def _xform_to_mat66(E, p):
+    """[[E, 0], [-E hat(p), E]] (soa.xform_to_mat66); p is a float 3-list."""
+    px = _hat(p)
+    Epx = _mm(E, px)
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = E[i][j]
+            out[3 + i][j] = -Epx[i][j]
+            out[3 + i][3 + j] = E[i][j]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Static model/parameter bundle (hashable -> kernel cache key)
+# --------------------------------------------------------------------------
+
+
+class FusedSpec(NamedTuple):
+    """Everything static about the robot + sim config, as nested tuples."""
+
+    parent: tuple
+    joint_rot: tuple      # (nb, 3, 3) floats
+    joint_pos: tuple      # (nb, 3)
+    joint_axis: tuple     # (nb, 3)
+    mass: tuple           # (nb,)
+    com: tuple            # (nb, 3)
+    inertia_com: tuple    # (nb, 3, 3)
+    geom_body: tuple
+    geom_pos: tuple       # (ng, 3)
+    geom_radius: tuple
+    geom_link: tuple
+    n_links: int
+    # sim params
+    dt: float
+    decimation: int
+    substeps: int
+    gravity: tuple
+    stiffness: float
+    damping: float
+    friction_vel: float
+    terrain_friction: float
+    jl_stiffness: float
+    jl_damping: float
+    dof_vel_clamp: bool
+    # PD
+    p_gains: tuple
+    d_gains: tuple
+    default_dof_pos: tuple
+    torque_limits: tuple
+    action_scale: float
+    # limits
+    dof_lo: tuple
+    dof_hi: tuple
+    dof_vlim: tuple
+
+
+def _t(x):
+    a = np.asarray(x, np.float64)
+    if a.ndim == 0:
+        return float(a)
+    return tuple(_t(r) for r in a)
+
+
+def build_spec(ma, params, pd, dof_limits) -> FusedSpec:
+    """Concretize ModelArrays/SimParams/PDParams into a hashable spec.
+
+    Raises jax.errors.TracerArrayConversionError if any leaf is traced (the
+    caller treats that as "kernel unavailable" and falls back to XLA).
+    """
+    c = params.contact
+    return FusedSpec(
+        parent=tuple(int(p) for p in ma.parent),
+        joint_rot=_t(ma.joint_rot),
+        joint_pos=_t(ma.joint_pos),
+        joint_axis=_t(ma.joint_axis),
+        mass=_t(ma.mass),
+        com=_t(ma.com),
+        inertia_com=_t(ma.inertia_com),
+        geom_body=tuple(int(b) for b in np.asarray(ma.geom_body)),
+        geom_pos=_t(ma.geom_pos),
+        geom_radius=_t(ma.geom_radius),
+        geom_link=tuple(int(l) for l in np.asarray(ma.geom_link)),
+        n_links=int(ma.n_links),
+        dt=float(params.dt),
+        decimation=int(params.decimation),
+        substeps=int(params.substeps),
+        gravity=tuple(float(g) for g in params.gravity),
+        stiffness=float(c.stiffness),
+        damping=float(c.damping),
+        friction_vel=float(c.friction_vel),
+        terrain_friction=float(c.terrain_friction),
+        jl_stiffness=float(params.joint_limit_stiffness),
+        jl_damping=float(params.joint_limit_damping),
+        dof_vel_clamp=bool(params.dof_vel_clamp),
+        p_gains=_t(pd.p_gains),
+        d_gains=_t(pd.d_gains),
+        default_dof_pos=_t(pd.default_dof_pos),
+        torque_limits=_t(pd.torque_limits),
+        action_scale=float(pd.action_scale),
+        dof_lo=_t(dof_limits[0]),
+        dof_hi=_t(dof_limits[1]),
+        dof_vlim=_t(dof_limits[2]),
+    )
+
+
+# --------------------------------------------------------------------------
+# The kernel body
+# --------------------------------------------------------------------------
+
+
+def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
+    """One semi-implicit Euler substep on component lists.
+
+    st: dict with pos[3], quat[4], lin[3], ang[3] (world), q[ndof], qd[ndof].
+    Mirrors engine.substep / algorithms.forward_kinematics+aba /
+    contact.compute_contacts (plane case).
+    Returns (st', link_force [n_links][3]).
+    """
+    nb = len(spec.parent)
+    ndof = nb - 1
+    dt = spec.dt / spec.substeps
+
+    # ---- base spatial velocity in base coords (engine._spatial_vbase)
+    R_wb0 = _quat_to_matrix(st["quat"])           # world <- base
+    w_b = _mtv(R_wb0, st["ang"])
+    u_b = _mtv(R_wb0, st["lin"])
+    v_base = w_b + u_b
+
+    # ---- forward kinematics (algorithms.joint_transforms/forward_kinematics)
+    E0 = [None] * nb          # body <- world rotation
+    p0 = [None] * nb          # body origin - base origin, world coords
+    E_up = [None] * nb        # parent -> child rotation
+    v = [None] * nb           # spatial velocity, body coords
+    E0[0] = [[R_wb0[j][i] for j in range(3)] for i in range(3)]  # transpose
+    p0[0] = [0.0, 0.0, 0.0]
+    v[0] = v_base
+    for i in range(1, nb):
+        p = spec.parent[i]
+        q = st["q"][i - 1]
+        axis = spec.joint_axis[i]
+        cq = jnp.cos(q)
+        sq = jnp.sin(q)
+        ax = _hat(axis)
+        # R(axis, q) = c I + s ax + (1-c) a a^T ; E_j = R^T
+        R = [
+            [
+                (cq if r == c_ else 0.0)
+                + sq * ax[r][c_]
+                + (1.0 - cq) * axis[r] * axis[c_]
+                for c_ in range(3)
+            ]
+            for r in range(3)
+        ]
+        Ej = [[R[c_][r] for c_ in range(3)] for r in range(3)]
+        E_up[i] = _mm(Ej, [list(r) for r in spec.joint_rot[i]])
+        E0[i] = _mm(E_up[i], E0[p])
+        jp = list(spec.joint_pos[i])
+        p0[i] = _vadd(p0[p], _mtv(E0[p], jp))
+        vi = _xform_motion(E_up[i], jp, v[p])
+        qd = st["qd"][i - 1]
+        v[i] = [vi[k] + axis[k] * qd for k in range(3)] + vi[3:6]
+
+    # ---- plane penalty contact (contact.compute_contacts, is_plane)
+    ng = len(spec.geom_body)
+    body_wrench = [[0.0] * 6 for _ in range(nb)]     # world axes, body origin
+    link_force = [[0.0] * 3 for _ in range(spec.n_links)]
+    for g in range(ng):
+        b = spec.geom_body[g]
+        gpos = list(spec.geom_pos[g])
+        Rg = E0[b]                                  # body <- world
+        # center = base_pos + p0[b] + R_wb @ gpos  (R_wb = Rg^T)
+        off = _mtv(Rg, gpos)
+        center = [st["pos"][k] + p0[b][k] + off[k] for k in range(3)]
+        wb_g = v[b][0:3]
+        ub_g = v[b][3:6]
+        vel_b = _vadd(ub_g, _cross(wb_g, gpos))
+        vel_w = _mtv(Rg, vel_b)
+        radius = spec.geom_radius[g]
+        depth = radius - center[2]
+        vn = vel_w[2]
+        fn = jnp.maximum(spec.stiffness * depth - spec.damping * vn, 0.0)
+        fn = jnp.where(depth > 0.0, fn, 0.0)
+        vt = [vel_w[0], vel_w[1]]
+        vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1])
+        mu = 0.5 * (friction + spec.terrain_friction)
+        ft_mag = jnp.minimum(spec.friction_vel * vt_norm, mu * fn)
+        inv_vt = ft_mag / (vt_norm + 1e-6)
+        force = [-vt[0] * inv_vt, -vt[1] * inv_vt, fn]
+        torque = _cross(off, force)  # arm = center - body origin = R_wb @ gpos
+        for k in range(3):
+            body_wrench[b][k] = body_wrench[b][k] + torque[k]
+            body_wrench[b][3 + k] = body_wrench[b][3 + k] + force[k]
+            lf = link_force[spec.geom_link[g]]
+            lf[k] = lf[k] + force[k]
+
+    # ---- joint-limit torque (engine._joint_limit_torque)
+    tau_total = []
+    for j in range(ndof):
+        qj = st["q"][j]
+        qdj = st["qd"][j]
+        below = jnp.minimum(qj - spec.dof_lo[j], 0.0)
+        above = jnp.maximum(qj - spec.dof_hi[j], 0.0)
+        viol = (below < 0) | (above > 0)
+        tjl = -spec.jl_stiffness * (below + above) - jnp.where(
+            viol, spec.jl_damping * qdj, 0.0
+        )
+        tau_total.append(tau[j] + tjl)
+
+    # ---- articulated-body algorithm (algorithms.aba)
+    g3 = list(spec.gravity)
+    c_ = [None] * nb
+    c_[0] = [0.0] * 6
+    for i in range(1, nb):
+        axis = spec.joint_axis[i]
+        qd = st["qd"][i - 1]
+        vJ = [axis[0] * qd, axis[1] * qd, axis[2] * qd, 0.0, 0.0, 0.0]
+        c_[i] = _crm(v[i], vJ)
+
+    IA = [None] * nb
+    pA = [None] * nb
+    for i in range(nb):
+        m_i, h_i, I_i = inertias[i]
+        IA[i] = _inertia_to_mat66(m_i, h_i, I_i)
+        Iv = _inertia_mul(m_i, h_i, I_i, v[i])
+        pa = _crf(v[i], Iv)
+        g_b = _mv(E0[i], g3)
+        hxg = _cross(h_i, g_b)
+        fw = body_wrench[i]
+        n_b = _mv(E0[i], fw[0:3])
+        f_b = _mv(E0[i], fw[3:6])
+        pA[i] = [
+            pa[0] - hxg[0] - n_b[0],
+            pa[1] - hxg[1] - n_b[1],
+            pa[2] - hxg[2] - n_b[2],
+            pa[3] - m_i * g_b[0] - f_b[0],
+            pa[4] - m_i * g_b[1] - f_b[1],
+            pa[5] - m_i * g_b[2] - f_b[2],
+        ]
+
+    U = [None] * nb
+    d_ = [None] * nb
+    u_ = [None] * nb
+    for i in range(nb - 1, 0, -1):
+        p = spec.parent[i]
+        axis = spec.joint_axis[i]
+        S6 = list(axis) + [0.0, 0.0, 0.0]
+        U[i] = _mv(IA[i], S6)
+        d_[i] = _dot(S6, U[i])
+        u_[i] = tau_total[i - 1] - _dot(S6, pA[i])
+        inv_d = 1.0 / d_[i]
+        Ia = [
+            [IA[i][r][cc] - U[i][r] * U[i][cc] * inv_d for cc in range(6)]
+            for r in range(6)
+        ]
+        pa2 = [
+            pA[i][r] + _dot(Ia[r], c_[i]) + U[i][r] * (u_[i] * inv_d)
+            for r in range(6)
+        ]
+        jp = list(spec.joint_pos[i])
+        X = _xform_to_mat66(E_up[i], jp)
+        IaX = _mm(Ia, X)
+        XtIaX = [[_dot([X[t][r] for t in range(6)], [IaX[t][cc] for t in range(6)]) for cc in range(6)] for r in range(6)]
+        for r in range(6):
+            for cc in range(6):
+                IA[p][r][cc] = IA[p][r][cc] + XtIaX[r][cc]
+        pxf = _inv_xform_force(E_up[i], jp, pa2)
+        pA[p] = _vadd(pA[p], pxf)
+
+    a0 = _solve66(IA[0], [-x for x in pA[0]])
+
+    a = [None] * nb
+    a[0] = a0
+    qdd = [None] * ndof
+    for i in range(1, nb):
+        p = spec.parent[i]
+        jp = list(spec.joint_pos[i])
+        ai = _vadd(_xform_motion(E_up[i], jp, a[p]), c_[i])
+        qdd[i - 1] = (u_[i] - _dot(U[i], ai)) * (1.0 / d_[i])
+        axis = spec.joint_axis[i]
+        a[i] = [ai[k] + axis[k] * qdd[i - 1] for k in range(3)] + ai[3:6]
+
+    # ---- semi-implicit Euler (engine.substep tail)
+    w_b2 = [v_base[k] + a0[k] * dt for k in range(3)]
+    u_b2 = [v_base[3 + k] + a0[3 + k] * dt for k in range(3)]
+    lin = _mv(R_wb0, u_b2)
+    ang = _mv(R_wb0, w_b2)
+    pos = [st["pos"][k] + lin[k] * dt for k in range(3)]
+
+    # quat integrate (soa.quat_integrate)
+    angle = jnp.sqrt(w_b2[0] ** 2 + w_b2[1] ** 2 + w_b2[2] ** 2)
+    angle = jnp.maximum(angle, 1e-9)
+    inv_angle = 1.0 / angle
+    half = 0.5 * angle * dt
+    ch = jnp.cos(half)
+    sh = jnp.sin(half)
+    dq = [ch, w_b2[0] * inv_angle * sh, w_b2[1] * inv_angle * sh, w_b2[2] * inv_angle * sh]
+    qw, qx, qy, qz = st["quat"]
+    quat = [
+        qw * dq[0] - qx * dq[1] - qy * dq[2] - qz * dq[3],
+        qw * dq[1] + qx * dq[0] + qy * dq[3] - qz * dq[2],
+        qw * dq[2] - qx * dq[3] + qy * dq[0] + qz * dq[1],
+        qw * dq[3] + qx * dq[2] - qy * dq[1] + qz * dq[0],
+    ]
+    qn = jnp.sqrt(quat[0] ** 2 + quat[1] ** 2 + quat[2] ** 2 + quat[3] ** 2)
+    qn = 1.0 / jnp.maximum(qn, 1e-9)
+    quat = [qq * qn for qq in quat]
+
+    qd_new = []
+    q_new = []
+    for j in range(ndof):
+        qd = st["qd"][j] + qdd[j] * dt
+        if spec.dof_vel_clamp:
+            qd = jnp.clip(qd, -spec.dof_vlim[j], spec.dof_vlim[j])
+        qd_new.append(qd)
+        q_new.append(st["q"][j] + qd * dt)
+
+    st2 = dict(pos=pos, quat=quat, lin=lin, ang=ang, q=q_new, qd=qd_new)
+    return st2, link_force
+
+
+def _body_inertias_components(spec: FusedSpec, added_mass, com_offset):
+    """algorithms.body_inertias in component form (base body randomized)."""
+    nb = len(spec.parent)
+    out = []
+    for i in range(nb):
+        if i == 0:
+            m_i = spec.mass[0] + added_mass
+            com_i = [spec.com[0][k] + com_offset[k] for k in range(3)]
+        else:
+            m_i = spec.mass[i]
+            com_i = list(spec.com[i])
+        h = [m_i * com_i[k] for k in range(3)]
+        cx = _hat(com_i)
+        cxcxT = _mm(cx, [[cx[c][r] for c in range(3)] for r in range(3)])
+        I_o = [
+            [spec.inertia_com[i][r][c] + m_i * cxcxT[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+        out.append((m_i, h, I_o))
+    return out
+
+
+def control_step_components(spec: FusedSpec, st, actions, friction,
+                            added_mass, com_offset, kp_mult, kd_mult):
+    """The full control step on component lists (the kernel body's math).
+
+    Shared between the Pallas kernel and tests/test_fused_step.py, which
+    calls it with plain (B,) jnp arrays — same trace, no pallas — so the
+    numerics are verified against the XLA engine without paying interpreter
+    costs; a 1-substep interpret-mode smoke test covers the lowering.
+    Returns (st', link_force_mean [nl][3], tau [ndof]).
+    """
+    nl = spec.n_links
+    ndof = len(spec.parent) - 1
+    inertias = _body_inertias_components(spec, added_mass, com_offset)
+    tau = [0.0] * ndof
+    lf_mean = [[0.0] * 3 for _ in range(nl)]
+    for _tick in range(spec.decimation):
+        # PD torques (actuator.compute_torques, control_type P)
+        tau = []
+        for j in range(ndof):
+            kp = kp_mult[j] * spec.p_gains[j]
+            kd = kd_mult[j] * spec.d_gains[j]
+            t = kp * (
+                actions[j] * spec.action_scale
+                + spec.default_dof_pos[j]
+                - st["q"][j]
+            ) - kd * st["qd"][j]
+            tau.append(jnp.clip(t, -spec.torque_limits[j], spec.torque_limits[j]))
+        lf_sum = [[0.0] * 3 for _ in range(nl)]
+        for _s in range(spec.substeps):
+            st, lf = _substep_components(spec, st, tau, friction, inertias)
+            for l in range(nl):
+                for k in range(3):
+                    lf_sum[l][k] = lf_sum[l][k] + lf[l][k]
+        inv_ns = 1.0 / spec.substeps
+        lf_mean = [[lf_sum[l][k] * inv_ns for k in range(3)] for l in range(nl)]
+    return st, lf_mean, tau
+
+
+def _make_kernel(spec: FusedSpec, tile: int):
+    nb = len(spec.parent)
+    ndof = nb - 1
+    nl = spec.n_links
+
+    def kernel(
+        pos_ref, quat_ref, lin_ref, ang_ref, q_ref, qd_ref,
+        act_ref, fric_ref, am_ref, co_ref, kp_ref, kd_ref,
+        opos_ref, oquat_ref, olin_ref, oang_ref, oq_ref, oqd_ref,
+        olf_ref, otau_ref,
+    ):
+        st = dict(
+            pos=[pos_ref[i, :] for i in range(3)],
+            quat=[quat_ref[i, :] for i in range(4)],
+            lin=[lin_ref[i, :] for i in range(3)],
+            ang=[ang_ref[i, :] for i in range(3)],
+            q=[q_ref[i, :] for i in range(ndof)],
+            qd=[qd_ref[i, :] for i in range(ndof)],
+        )
+        st, lf_mean, tau = control_step_components(
+            spec, st,
+            [act_ref[i, :] for i in range(ndof)],
+            fric_ref[0, :], am_ref[0, :],
+            [co_ref[i, :] for i in range(3)],
+            [kp_ref[i, :] for i in range(ndof)],
+            [kd_ref[i, :] for i in range(ndof)],
+        )
+
+        ones = jnp.ones((tile,), jnp.float32)
+
+        def w(ref, i, val):
+            ref[i, :] = val * ones if isinstance(val, float) else val
+
+        for k in range(3):
+            w(opos_ref, k, st["pos"][k])
+            w(olin_ref, k, st["lin"][k])
+            w(oang_ref, k, st["ang"][k])
+        for k in range(4):
+            w(oquat_ref, k, st["quat"][k])
+        for j in range(ndof):
+            w(oq_ref, j, st["q"][j])
+            w(oqd_ref, j, st["qd"][j])
+            w(otau_ref, j, tau[j])
+        for l in range(nl):
+            for k in range(3):
+                w(olf_ref, l * 3 + k, lf_mean[l][k])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _build_fused(spec: FusedSpec, batch: int, tile: int, interpret: bool):
+    nb = len(spec.parent)
+    ndof = nb - 1
+    nl = spec.n_links
+    kernel = _make_kernel(spec, tile)
+    grid = (batch // tile,)
+
+    def spec_for(c):
+        return pl.BlockSpec((c, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec_for(3), spec_for(4), spec_for(3), spec_for(3),
+        spec_for(ndof), spec_for(ndof),
+        spec_for(ndof), spec_for(1), spec_for(1), spec_for(3),
+        spec_for(ndof), spec_for(ndof),
+    ]
+    out_specs = (
+        spec_for(3), spec_for(4), spec_for(3), spec_for(3),
+        spec_for(ndof), spec_for(ndof), spec_for(nl * 3), spec_for(ndof),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((c, batch), jnp.float32)
+        for c in (3, 4, 3, 3, ndof, ndof, nl * 3, ndof)
+    )
+    # ~flops/substep/env: FK+contact+ABA on a 13-body tree ≈ 2e4
+    n_sub = spec.decimation * spec.substeps
+    cost = pl.CostEstimate(
+        flops=int(2.0e4) * n_sub * batch,
+        bytes_accessed=(37 + 30 + 37 + nl * 3 + ndof) * 4 * batch,
+        transcendentals=(ndof * 2 + 4) * n_sub * batch,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fused(state_tuple, actions, dr_tuple):
+        (pos, quat, lin, ang, q, qd) = state_tuple
+        (friction, added_mass, com_offset, kp_mult, kd_mult) = dr_tuple
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        outs = call(
+            f32(pos), f32(quat), f32(lin), f32(ang), f32(q), f32(qd),
+            f32(actions),
+            f32(friction).reshape(1, batch),
+            f32(added_mass).reshape(1, batch),
+            f32(com_offset), f32(kp_mult), f32(kd_mult),
+        )
+        (opos, oquat, olin, oang, oq, oqd, olf, otau) = outs
+        return (opos, oquat, olin, oang, oq, oqd), olf.reshape(nl, 3, batch), otau
+
+    return fused
+
+
+def _env_flag():
+    return os.environ.get("LGC_FUSED_KERNEL", "auto").lower()
+
+
+def pick_tile(batch: int) -> int | None:
+    for t in (1024, 512, 256, 128):
+        if batch % t == 0:
+            return t
+    return None
+
+
+def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions):
+    """Return (state', link_forces, torques) via the Pallas kernel, or None.
+
+    Falls back (returns None) when: disabled via LGC_FUSED_KERNEL=0, terrain
+    is not the flat plane, control is not plain PD position control, the
+    batch is not 1-D/128-divisible, or the model/params are traced values.
+    """
+    flag = _env_flag()
+    if flag in ("0", "off", "false"):
+        return None
+    if not getattr(hf, "is_plane", False):
+        return None
+    if pd.control_type != "P":
+        return None
+    bs = state.dof_pos.shape[1:]
+    if len(bs) != 1:
+        return None
+    batch = bs[0]
+    tile = pick_tile(batch)
+    if tile is None:
+        return None
+    backend = jax.default_backend()
+    if flag == "interpret":
+        interpret = True
+    elif backend == "cpu":
+        return None  # interpreter is far slower than the XLA path
+    else:
+        interpret = False
+    try:
+        spec = build_spec(ma, params, pd, dof_limits)
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        return None
+    fused = _build_fused(spec, batch, tile, interpret)
+    state_tuple = (
+        state.base_pos, state.base_quat, state.lin_vel,
+        state.ang_vel, state.dof_pos, state.dof_vel,
+    )
+    dr_tuple = (dr.friction, dr.added_mass, dr.com_offset, dr.kp_mult, dr.kd_mult)
+    return fused(state_tuple, actions, dr_tuple)

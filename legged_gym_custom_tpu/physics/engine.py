@@ -195,7 +195,26 @@ def control_step(
     `torque_fn(actions, dof_pos, dof_vel, act_state) -> (tau, act_state')`
     overrides the PD law for stateful actuator models (the ANYmal SEA LSTM,
     reference anymal.py:71-80); default is the PD controller.
+
+    On TPU with flat-plane terrain and plain PD control, the whole
+    decimation x substeps loop runs as one fused Pallas kernel
+    (ops/fused_step.py) — state stays in VMEM across all substeps instead of
+    round-tripping HBM between XLA fusions.  Other configurations (heightfield
+    terrain, actuator networks, unbatched robots) take the XLA path below;
+    parity between the two is asserted in tests/test_fused_step.py.
     """
+    if torque_fn is None:
+        from ..ops import fused_step as _fused
+
+        fused = _fused.maybe_fused_control_step(
+            ma, hf, params, pd, dr, dof_limits, state, actions
+        )
+        if fused is not None:
+            (pos, quat, lin, ang, q, qd), link_forces, torques = fused
+            st = PhysicsState(pos, quat, lin, ang, q, qd)
+            lpos, lvel = link_states(ma, st)
+            return st, StepInfo(link_forces, lpos, lvel, torques), actuator_state
+
     dt_sub = params.dt / params.substeps
     bs = state.dof_pos.shape[1:]
     tlim = soa.bcast(pd.torque_limits, bs)

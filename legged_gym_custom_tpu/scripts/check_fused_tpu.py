@@ -1,0 +1,149 @@
+"""Real-TPU parity + micro-benchmark for the fused Pallas control-step kernel.
+
+tests/test_fused_step.py verifies the kernel math (shared component trace) and
+the Pallas lowering (interpret mode, tiny robot) on CPU; this script is the
+hardware half: it compiles the full 13-body Go2 kernel with Mosaic on the real
+chip, checks parity against the XLA engine path, and times both.
+
+Run (when no training job holds the chip):
+
+    timeout 900 python -u -m legged_gym_custom_tpu.scripts.check_fused_tpu \
+        [--batch 4096] [--iters 50]
+
+Prints one JSON line with parity deltas and steps/s for both paths — the
+before/after evidence for docs/architecture.md's layout table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from legged_gym_custom_tpu import physics as phys
+from legged_gym_custom_tpu.ops import fused_step
+
+GO2_URDF = "/root/reference/resources/robots/go2/urdf/go2.urdf"
+DEFAULT_ANGLES = np.array(
+    [0.1, 0.8, -1.5, -0.1, 0.8, -1.5, 0.1, 1.0, -1.5, -0.1, 1.0, -1.5]
+)
+
+
+def build(batch: int):
+    model = phys.load_urdf(GO2_URDF, "go2")
+    ma = phys.model_arrays(model)
+    pd = phys.PDParams(
+        p_gains=jnp.full(12, 40.0),
+        d_gains=jnp.full(12, 1.0),
+        default_dof_pos=jnp.asarray(DEFAULT_ANGLES, jnp.float32),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 10)
+    quat = jax.random.normal(ks[0], (4, batch)) * 0.1 + jnp.array([1.0, 0, 0, 0])[:, None]
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    state = phys.PhysicsState(
+        base_pos=jnp.concatenate(
+            [
+                jax.random.uniform(ks[1], (2, batch), minval=-1.0, maxval=1.0),
+                jax.random.uniform(ks[2], (1, batch), minval=0.25, maxval=0.45),
+            ]
+        ),
+        base_quat=quat,
+        lin_vel=jax.random.normal(ks[3], (3, batch)) * 0.5,
+        ang_vel=jax.random.normal(ks[4], (3, batch)) * 0.5,
+        dof_pos=DEFAULT_ANGLES[:, None] + jax.random.normal(ks[5], (12, batch)) * 0.2,
+        dof_vel=jax.random.normal(ks[6], (12, batch)) * 2.0,
+    )
+    dr = phys.DomainRandParams(
+        friction=jax.random.uniform(ks[7], (batch,), minval=0.5, maxval=1.25),
+        added_mass=jax.random.uniform(ks[8], (batch,), minval=-1.0, maxval=1.0),
+        com_offset=jax.random.normal(ks[9], (3, batch)) * 0.01,
+        kp_mult=jnp.ones((12, batch)),
+        kd_mult=jnp.ones((12, batch)),
+    )
+    actions = jax.random.normal(jax.random.fold_in(key, 42), (12, batch)).clip(-3.14, 3.14)
+    hf = phys.plane()
+    params = phys.SimParams()
+    return ma, hf, params, pd, dr, dof_limits, state, actions
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    ma, hf, params, pd, dr, dof_limits, state, actions = build(args.batch)
+    print(f"backend={jax.default_backend()} batch={args.batch}", flush=True)
+
+    def xla_step(s, a):
+        import os
+
+        os.environ["LGC_FUSED_KERNEL"] = "0"
+        out = phys.control_step(ma, hf, params, pd, dr, dof_limits, s, a)
+        os.environ["LGC_FUSED_KERNEL"] = "auto"
+        return out
+
+    t0 = time.time()
+    ref_state, ref_info, _ = jax.block_until_ready(jax.jit(xla_step)(state, actions))
+    print(f"xla compile {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    fused = fused_step.maybe_fused_control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions
+    )
+    assert fused is not None, "fused kernel unavailable (check fallback conditions)"
+    (pos, quat, lin, ang, q, qd), link_forces, torques = jax.block_until_ready(fused)
+    print(f"pallas compile {time.time() - t0:.1f}s", flush=True)
+
+    deltas = {
+        "pos": float(jnp.abs(pos - ref_state.base_pos).max()),
+        "quat": float(jnp.abs(quat - ref_state.base_quat).max()),
+        "dof_pos": float(jnp.abs(q - ref_state.dof_pos).max()),
+        "dof_vel": float(jnp.abs(qd - ref_state.dof_vel).max()),
+        "torques": float(jnp.abs(torques - ref_info.torques).max()),
+        "link_forces": float(jnp.abs(link_forces - ref_info.link_forces).max()),
+    }
+
+    def bench(fn, n):
+        fn()  # warm
+        t0 = time.time()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    jit_xla = jax.jit(xla_step)
+    t_xla = bench(lambda: jit_xla(state, actions), args.iters)
+    t_fused = bench(
+        lambda: fused_step.maybe_fused_control_step(
+            ma, hf, params, pd, dr, dof_limits, state, actions
+        ),
+        args.iters,
+    )
+    result = {
+        "metric": "fused_control_step",
+        "batch": args.batch,
+        "parity_max_abs": deltas,
+        "xla_ms": round(t_xla * 1e3, 3),
+        "pallas_ms": round(t_fused * 1e3, 3),
+        "xla_env_steps_per_s": round(args.batch / t_xla),
+        "pallas_env_steps_per_s": round(args.batch / t_fused),
+        "speedup": round(t_xla / t_fused, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,13 +91,38 @@ def load_checkpoint(path: str, target=None):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     state_dir = os.path.join(path, "state")
+    single = jax.process_count() == 1
     if target is not None:
         packed = _pack_empty(target)
-        restore_args = ocp.checkpoint_utils.construct_restore_args(packed)
+        if single:
+            # Restore straight to host numpy: no device involvement at all.
+            # Restoring onto the accelerator and then copying back
+            # (np.asarray on a restored jax.Array) round-trips every leaf
+            # through the device transfer path, which on remote-tunneled
+            # platforms is slow at best and has been observed to wedge.
+            # The caller (runner.load) device-puts afterwards as needed.
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), packed
+            )
+        else:
+            # Multi-host: re-shard onto the current mesh from the target's
+            # shardings (host-local numpy copies would raise for
+            # non-addressable arrays).
+            restore_args = ocp.checkpoint_utils.construct_restore_args(packed)
         restored = ckptr.restore(state_dir, item=packed, restore_args=restore_args)
         arrays = _unpack_empty(restored, target)
     else:
-        arrays = jax.tree.map(np.asarray, ckptr.restore(state_dir))
+        # Derive the tree structure from checkpoint metadata (no array
+        # reads), then restore every leaf as host numpy — same rationale
+        # as the single-process branch above.
+        meta_tree = ckptr.metadata(state_dir)
+        item_meta = getattr(meta_tree, "item_metadata", meta_tree)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            item_meta,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        )
+        arrays = ckptr.restore(state_dir, restore_args=restore_args)
     meta_path = os.path.join(path, "meta.json")
     metadata = {}
     if os.path.exists(meta_path):

@@ -1,0 +1,248 @@
+"""Parity: the fused Pallas control-step kernel vs the XLA engine path.
+
+The kernel (ops/fused_step.py) reimplements engine.control_step's
+decimation x substeps loop in component-scalarized form; this test runs both
+on identical randomized batched states (interpret mode on the CPU test mesh)
+and requires the full output set — state, link forces, torques — to agree.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_gym_custom_tpu import physics as phys
+from legged_gym_custom_tpu.ops import fused_step
+
+GO2_URDF = "/root/reference/resources/robots/go2/urdf/go2.urdf"
+DEFAULT_ANGLES = np.array(
+    [0.1, 0.8, -1.5, -0.1, 0.8, -1.5, 0.1, 1.0, -1.5, -0.1, 1.0, -1.5]
+)
+B = 128  # one kernel tile
+
+
+@pytest.fixture(scope="module")
+def go2():
+    model = phys.load_urdf(GO2_URDF, "go2")
+    ma = phys.model_arrays(model)
+    pd = phys.PDParams(
+        p_gains=jnp.full(12, 40.0),
+        d_gains=jnp.full(12, 1.0),
+        default_dof_pos=jnp.asarray(DEFAULT_ANGLES, jnp.float32),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
+    return ma, pd, dof_limits
+
+
+def _rand_batch(key):
+    ks = jax.random.split(key, 10)
+    quat = jax.random.normal(ks[0], (4, B)) * 0.1 + jnp.array([1.0, 0, 0, 0])[:, None]
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    state = phys.PhysicsState(
+        base_pos=jnp.concatenate(
+            [
+                jax.random.uniform(ks[1], (2, B), minval=-1.0, maxval=1.0),
+                jax.random.uniform(ks[2], (1, B), minval=0.25, maxval=0.45),
+            ]
+        ),
+        base_quat=quat,
+        lin_vel=jax.random.normal(ks[3], (3, B)) * 0.5,
+        ang_vel=jax.random.normal(ks[4], (3, B)) * 0.5,
+        dof_pos=DEFAULT_ANGLES[:, None] + jax.random.normal(ks[5], (12, B)) * 0.2,
+        dof_vel=jax.random.normal(ks[6], (12, B)) * 2.0,
+    )
+    dr = phys.DomainRandParams(
+        friction=jax.random.uniform(ks[7], (B,), minval=0.5, maxval=1.25),
+        added_mass=jax.random.uniform(ks[8], (B,), minval=-1.0, maxval=1.0),
+        com_offset=jax.random.normal(ks[9], (3, B)) * 0.01,
+        kp_mult=jnp.ones((12, B)) * 1.05,
+        kd_mult=jnp.ones((12, B)) * 0.95,
+    )
+    actions = jax.random.normal(jax.random.fold_in(key, 42), (12, B)).clip(-3.14, 3.14)
+    return state, dr, actions
+
+
+def _run_components(ma, params, pd, dof_limits, state, dr, actions):
+    """Drive the kernel's shared component math with plain jnp arrays."""
+    spec = fused_step.build_spec(ma, params, pd, dof_limits)
+    ndof = len(spec.parent) - 1
+    st = dict(
+        pos=[state.base_pos[i] for i in range(3)],
+        quat=[state.base_quat[i] for i in range(4)],
+        lin=[state.lin_vel[i] for i in range(3)],
+        ang=[state.ang_vel[i] for i in range(3)],
+        q=[state.dof_pos[i] for i in range(ndof)],
+        qd=[state.dof_vel[i] for i in range(ndof)],
+    )
+    st, lf, tau = fused_step.control_step_components(
+        spec, st,
+        [actions[i] for i in range(ndof)],
+        dr.friction, dr.added_mass,
+        [dr.com_offset[i] for i in range(3)],
+        [dr.kp_mult[i] for i in range(ndof)],
+        [dr.kd_mult[i] for i in range(ndof)],
+    )
+    return st, np.asarray(lf), np.stack(tau)
+
+
+def test_component_math_matches_xla(go2, monkeypatch):
+    """Full decimation x substeps: kernel math vs engine.control_step."""
+    ma, pd, dof_limits = go2
+    hf = phys.plane()
+    params = phys.SimParams()
+    state, dr, actions = _rand_batch(jax.random.PRNGKey(0))
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = jax.jit(
+        lambda s, a, d: phys.control_step(ma, hf, params, pd, d, dof_limits, s, a)
+    )(state, actions, dr)
+
+    st, link_forces, torques = _run_components(
+        ma, params, pd, dof_limits, state, dr, actions
+    )
+
+    np.testing.assert_allclose(st["pos"], ref_state.base_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["quat"], ref_state.base_quat, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["lin"], ref_state.lin_vel, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(st["ang"], ref_state.ang_vel, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(st["q"], ref_state.dof_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(
+        link_forces, ref_info.link_forces, atol=0.05, rtol=1e-3
+    )
+
+
+_TINY_URDF = """<robot name="tiny">
+  <link name="base">
+    <inertial>
+      <origin xyz="0 0 0" rpy="0 0 0"/>
+      <mass value="2.0"/>
+      <inertia ixx="0.02" ixy="0" ixz="0" iyy="0.02" iyz="0" izz="0.02"/>
+    </inertial>
+    <collision>
+      <origin xyz="0 0 0" rpy="0 0 0"/>
+      <geometry><sphere radius="0.05"/></geometry>
+    </collision>
+  </link>
+  <link name="leg">
+    <inertial>
+      <origin xyz="0 0 -0.1" rpy="0 0 0"/>
+      <mass value="0.3"/>
+      <inertia ixx="0.002" ixy="0" ixz="0" iyy="0.002" iyz="0" izz="0.001"/>
+    </inertial>
+    <collision>
+      <origin xyz="0 0 -0.2" rpy="0 0 0"/>
+      <geometry><sphere radius="0.02"/></geometry>
+    </collision>
+  </link>
+  <joint name="hip" type="revolute">
+    <origin xyz="0.05 0 -0.02" rpy="0 0 0"/>
+    <parent link="base"/>
+    <child link="leg"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="20" velocity="25"/>
+  </joint>
+</robot>
+"""
+
+
+def test_pallas_lowering_smoke(tmp_path, monkeypatch):
+    """The actual pallas_call in interpreter mode, on a 2-body robot.
+
+    The interpreter evaluates each jaxpr eqn separately, so the 13-body Go2
+    kernel is minutes-slow here; a minimal hopper covers the same lowering
+    surface (grid, row-sliced BlockSpecs, the component algebra, writes).
+    The full Go2 kernel is compile-checked and parity-checked on real TPU by
+    bench.py / scripts/check_fused_tpu.py.
+    """
+    urdf = tmp_path / "tiny.urdf"
+    urdf.write_text(_TINY_URDF)
+    model = phys.load_urdf(str(urdf), "tiny")
+    ma = phys.model_arrays(model)
+    ndof = 1
+    pd = phys.PDParams(
+        p_gains=jnp.full(ndof, 20.0),
+        d_gains=jnp.full(ndof, 0.5),
+        default_dof_pos=jnp.zeros(ndof),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
+    hf = phys.plane()
+    params = phys.SimParams(decimation=2, substeps=1)
+
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 6)
+    quat = jax.random.normal(ks[0], (4, B)) * 0.05 + jnp.array([1.0, 0, 0, 0])[:, None]
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    state = phys.PhysicsState(
+        base_pos=jnp.concatenate(
+            [jnp.zeros((2, B)), jax.random.uniform(ks[1], (1, B), minval=0.15, maxval=0.3)]
+        ),
+        base_quat=quat,
+        lin_vel=jax.random.normal(ks[2], (3, B)) * 0.2,
+        ang_vel=jax.random.normal(ks[3], (3, B)) * 0.2,
+        dof_pos=jax.random.normal(ks[4], (ndof, B)) * 0.3,
+        dof_vel=jax.random.normal(ks[5], (ndof, B)) * 1.0,
+    )
+    dr = phys.DomainRandParams(
+        friction=jnp.ones(B), added_mass=jnp.zeros(B), com_offset=jnp.zeros((3, B)),
+        kp_mult=jnp.ones((ndof, B)), kd_mult=jnp.ones((ndof, B)),
+    )
+    actions = jax.random.normal(jax.random.fold_in(key, 7), (ndof, B))
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = phys.control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions
+    )
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "interpret")
+    out = fused_step.maybe_fused_control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions
+    )
+    assert out is not None, "kernel unexpectedly unavailable"
+    (pos, quat_o, lin, ang, q, qd), link_forces, torques = out
+    np.testing.assert_allclose(pos, ref_state.base_pos, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(quat_o, ref_state.base_quat, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(qd, ref_state.dof_vel, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(
+        link_forces, ref_info.link_forces, atol=0.01, rtol=1e-3
+    )
+
+
+def test_fused_fallback_conditions(go2):
+    """Heightfield terrain / non-PD control must return None (XLA path)."""
+    ma, pd, dof_limits = go2
+    params = phys.SimParams()
+    state, dr, actions = _rand_batch(jax.random.PRNGKey(1))
+
+    hf_terrain = phys.from_raw(
+        np.zeros((16, 16), np.int16), 0.1, 0.005, 1.0
+    )
+    assert (
+        fused_step.maybe_fused_control_step(
+            ma, hf_terrain, params, pd, dr, dof_limits, state, actions
+        )
+        is None
+    )
+
+    pd_t = pd._replace(control_type="T")
+    assert (
+        fused_step.maybe_fused_control_step(
+            ma, phys.plane(), params, pd_t, dr, dof_limits, state, actions
+        )
+        is None
+    )
