@@ -36,6 +36,30 @@ LEGGED_GYM_RESOURCES_DIR = os.environ.get(
 # re-points the live jax config and clears the already-initialized backends.
 # Combine with XLA_FLAGS=--xla_force_host_platform_device_count=N for a
 # virtual multi-device CPU mesh (the tests' conftest does the same).
+# Persistent XLA compilation cache: TPU compiles of the big jitted phases
+# (collection / learning / deploy loops) take minutes on this platform and
+# are re-paid on every process start without it.  Opt out with
+# LGC_NO_COMPILE_CACHE=1; point elsewhere with JAX_COMPILATION_CACHE_DIR.
+# (CPU runs are excluded: XLA:CPU AOT cache entries record host machine
+# features and can SIGILL when loaded on a different host; TPU compiles are
+# the ones that cost minutes anyway.)
+_cpu_forced = (
+    os.environ.get("LGC_FORCE_PLATFORM") == "cpu"
+    or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+)
+if os.environ.get("LGC_NO_COMPILE_CACHE") != "1" and not _cpu_forced:
+    try:
+        import jax as _jax_cc
+
+        _jax_cc.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lgc_jax_cache"),
+        )
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax_cc.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - old jax without the knobs
+        pass
+
 _force = os.environ.get("LGC_FORCE_PLATFORM")
 if _force:
     import jax as _jax

@@ -164,9 +164,14 @@ def main(argv=None):
                     metavar=("VX", "VY", "WZ"),
                     help="fixed command when no gamepad is attached")
     ap.add_argument("--scan_trace", default=None)
+    ap.add_argument("--root", default=None,
+                    help="root dir for {LEGGED_GYM_ROOT_DIR} expansion in the "
+                    "config (default: the repo root)")
     args = ap.parse_args(argv)
 
-    cfg = ConfigParser(args.config)
+    from legged_gym_custom_tpu import LEGGED_GYM_TPU_ROOT_DIR
+
+    cfg = ConfigParser(args.config, root_dir=args.root or LEGGED_GYM_TPU_ROOT_DIR)
     bundle = args.bundle or cfg.bundle_path
     cmd = np.asarray(args.cmd, np.float32)
     traj = run(

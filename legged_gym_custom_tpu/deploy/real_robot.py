@@ -262,7 +262,9 @@ def main():
     p.add_argument("--bundle", required=True)
     p.add_argument("--scan_trace", default=None)
     args = p.parse_args()
-    cfg = ConfigParser(args.config)
+    from legged_gym_custom_tpu import LEGGED_GYM_TPU_ROOT_DIR
+
+    cfg = ConfigParser(args.config, root_dir=LEGGED_GYM_TPU_ROOT_DIR)
     rc = RobotController(cfg, args.bundle, args.net_interface, args.scan_trace)
     rc.main_loop()
 

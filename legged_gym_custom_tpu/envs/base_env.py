@@ -164,6 +164,13 @@ class LeggedEnv:
         pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1)
         self.height_points = jnp.asarray(pts, jnp.float32)   # (P, 3)
         self.num_height_points = pts.shape[0]
+        # scandot patch size: worst-case yaw-rotated point radius + margin
+        if not self.hf.is_plane:
+            radius = float(np.linalg.norm(pts[:, :2], axis=1).max()) + 0.3
+            k = int(round(2 * radius / cfg.terrain.horizontal_scale))
+            self._scan_patch_K = -(-k // 8) * 8
+        else:
+            self._scan_patch_K = 0
 
         # ---- rewards (legged_robot.py:730-754) ----
         scales = {}
@@ -570,7 +577,13 @@ class LeggedEnv:
         pts = sp.quat_apply_yaw(
             ph.base_quat[:, None, :], self.height_points[None, :, :]
         ) + ph.base_pos[:, None, :]
-        return phys.height_min3(self.hf, pts[..., 0], pts[..., 1])
+        # per-env local window + one-hot-matmul min3 taps instead of 132x3
+        # global-table gathers (physics/patch.py); the window covers the
+        # scandot grid's worst-case yaw-rotated radius
+        lp = phys.extract_patch(
+            self.hf, ph.base_pos[:, 0], ph.base_pos[:, 1], self._scan_patch_K
+        )
+        return phys.patch_height_min3(lp, pts[..., 0], pts[..., 1])
 
     # ------------------------------------------------------------------
     # Reset-all / step

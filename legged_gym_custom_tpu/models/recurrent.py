@@ -34,11 +34,14 @@ class Memory(nn.Module):
         carry, out = cell(carry, x)
         return out, carry
 
+    @nn.nowrap
     def initialize_carry(self, key, batch_dims: Tuple[int, ...]):
+        # nn.nowrap: callable on an unbound module (no flax scope needed),
+        # mirroring flax's own RNNCellBase.initialize_carry
         if self.rnn_type == "lstm":
-            cell = nn.OptimizedLSTMCell(self.hidden_size)
+            cell = nn.OptimizedLSTMCell(self.hidden_size, parent=None)
         else:
-            cell = nn.GRUCell(self.hidden_size)
+            cell = nn.GRUCell(self.hidden_size, parent=None)
         return cell.initialize_carry(key, batch_dims + (self.hidden_size,))
 
 

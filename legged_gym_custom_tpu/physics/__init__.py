@@ -12,5 +12,8 @@ from .engine import (
     substep,
 )
 from .heightfield import Heightfield, from_raw, height_bilinear, height_min3, plane, surface
+from .patch import LocalPatch, extract as extract_patch
+from .patch import height_min3 as patch_height_min3
+from .patch import surface as patch_surface
 from .model import RobotModel
 from .urdf import load_urdf

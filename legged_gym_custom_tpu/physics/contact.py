@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from . import heightfield as hfield
+from . import patch
 from .algorithms import ModelArrays
 
 
@@ -41,7 +42,7 @@ class ContactOutput(NamedTuple):
 
 def compute_contacts(
     ma: ModelArrays,
-    hf: hfield.Heightfield,
+    hf,  # Heightfield (global table) or patch.LocalPatch (per-env window)
     params: ContactParams,
     friction: jnp.ndarray,     # ()+bs per-env shape friction coefficient
     E0: list,                  # per-body R_{body<-world}, (3,3)+bs
@@ -64,7 +65,12 @@ def compute_contacts(
     )
     vel_w = jnp.einsum("gij...,gj...->gi...", Rg, vel_b)   # (ng,3)+bs
 
-    h, n = hfield.surface(hf, centers[:, 0], centers[:, 1])  # (ng,)+bs, (ng,)+bs x3
+    if isinstance(hf, patch.LocalPatch):
+        # per-env patch: samples are matmuls against the resident window
+        # instead of global-table gathers (physics/patch.py)
+        h, n = patch.surface_cm(hf, centers[:, 0], centers[:, 1])
+    else:
+        h, n = hfield.surface(hf, centers[:, 0], centers[:, 1])  # (ng,)+bs x3
     nx, ny, nz = n
     radius = ma.geom_radius.reshape(ma.geom_radius.shape + (1,) * len(bs))
     depth = radius - nz * (centers[:, 2] - h)

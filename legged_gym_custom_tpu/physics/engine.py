@@ -50,6 +50,11 @@ class SimParams(NamedTuple):
     joint_limit_stiffness: float = 60.0   # [N m / rad] penalty beyond URDF limit
     joint_limit_damping: float = 2.0
     dof_vel_clamp: bool = True  # Isaac clamps dof velocities to URDF limits
+    # Half-width [m] of the per-env local terrain window extracted once per
+    # control step (physics/patch.py): must cover collision-sphere reach
+    # (<=0.7 m for Go2) plus base drift within one step.  0 disables the
+    # patch path (every substep then gathers from the global table).
+    patch_halfwidth: float = 1.2
 
 
 class DomainRandParams(NamedTuple):
@@ -220,6 +225,17 @@ def control_step(
     tlim = soa.bcast(pd.torque_limits, bs)
     inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
 
+    # Heightfield terrain + batched envs: swap the global table for per-env
+    # local windows extracted once here, so every contact query in the
+    # decimation x substeps loop is a patch matmul instead of a global gather
+    # (physics/patch.py; ~4.5x faster rough-terrain step on TPU).
+    terrain = hf
+    if (not hf.is_plane) and len(bs) == 1 and params.patch_halfwidth > 0:
+        from . import patch as _patch
+
+        K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
+        terrain = _patch.extract(hf, state.base_pos[0], state.base_pos[1], K)
+
     def decim_body(carry, _):
         st, act_state, _info = carry
         if torque_fn is not None:
@@ -232,7 +248,7 @@ def control_step(
 
         def sub_body(st2, _):
             st3, contacts = substep(
-                ma, hf, params, dr, dof_limits, st2, tau, dt_sub, inertias
+                ma, terrain, params, dr, dof_limits, st2, tau, dt_sub, inertias
             )
             return st3, contacts.link_force
 

@@ -34,6 +34,40 @@ from . import ppo as ppo_lib
 from .ppo import PPOConfig, Transition, TrainState
 
 
+class _EpisodeWindow:
+    """Mean reward / episode length over the most recent ~`target_episodes`
+    finished episodes, from per-iteration (rew_sum, len_sum, count) aggregates.
+
+    The reference keeps a deque of the last 100 individual episode rewards
+    (on_policy_runner.py:130-131,163-171); computing that exactly would need
+    the per-episode values on the host.  Here the device hands over three
+    scalars per iteration and the window covers the most recent iterations
+    whose cumulative episode count reaches the target — identical semantics
+    at iteration granularity (at 4096 envs ~100 episodes finish per iteration
+    anyway, so the windows coincide in practice)."""
+
+    def __init__(self, target_episodes: int = 100, max_iters: int = 200):
+        self.target = target_episodes
+        self.entries = deque(maxlen=max_iters)
+
+    def push(self, rew_sum: float, len_sum: float, count: int):
+        if count > 0:
+            self.entries.append((rew_sum, len_sum, count))
+
+    def means(self):
+        """Returns (mean_reward, mean_length, have_any)."""
+        rew = length = n = 0.0
+        for rs, ls, c in reversed(self.entries):
+            rew += rs
+            length += ls
+            n += c
+            if n >= self.target:
+                break
+        if n == 0:
+            return 0.0, 0.0, False
+        return rew / n, length / n, True
+
+
 class OnPolicyRunner:
     def __init__(self, env, train_cfg, log_dir: Optional[str] = None,
                  use_mesh: bool = True, writer=None, mesh=None):
@@ -84,9 +118,10 @@ class OnPolicyRunner:
         cfg = self.ppo_cfg
         T = self.num_steps_per_env
 
-        def rollout(ts: TrainState, env_state, obs, key, adaptation_mode: bool):
+        def rollout(ts: TrainState, env_state, obs, key, cur_rew, cur_len,
+                    adaptation_mode: bool):
             def body(carry, _):
-                env_state, obs, key = carry
+                env_state, obs, key, cur_rew, cur_len = carry
                 key, k_act = jax.random.split(key)
                 actions, log_prob, mu, sigma, values = ppo_lib.policy_act(
                     nets, ts.params, obs, k_act, adaptation_mode
@@ -110,30 +145,48 @@ class OnPolicyRunner:
                     mu=mu,
                     sigma=sigma,
                 )
+                # on-device episode bookkeeping (reference on_policy_runner.py
+                # :163-171's cur_reward_sum/rewbuffer, without shipping the
+                # (T, B) rewards/dones arrays to the host — SURVEY §2.5(d))
+                cur_rew = cur_rew + rewards  # raw rewards, not bootstrapped
+                cur_len = cur_len + 1
+                fin = dones > 0
                 step_log = dict(
-                    rewards=rewards,
-                    dones=dones,
                     episode=info["episode"],
                     n_resets=info["n_resets"],
+                    fin_rew_sum=jnp.sum(jnp.where(fin, cur_rew, 0.0)),
+                    fin_len_sum=jnp.sum(jnp.where(fin, cur_len, 0)),
+                    fin_count=jnp.sum(fin),
                 )
-                return (next_state, next_obs, key), (tr, step_log)
+                cur_rew = jnp.where(fin, 0.0, cur_rew)
+                cur_len = jnp.where(fin, 0, cur_len)
+                return (next_state, next_obs, key, cur_rew, cur_len), (tr, step_log)
 
-            (env_state, obs, key), (traj, logs) = jax.lax.scan(
-                body, (env_state, obs, key), None, length=T
+            (env_state, obs, key, cur_rew, cur_len), (traj, logs) = jax.lax.scan(
+                body, (env_state, obs, key, cur_rew, cur_len), None, length=T
             )
-            return env_state, obs, traj, logs
+            return env_state, obs, traj, logs, cur_rew, cur_len
 
-        def collect_phase(ts, env_state, obs, key, adaptation_mode: bool):
+        def collect_phase(ts, env_state, obs, key, cur_rew, cur_len,
+                          adaptation_mode: bool):
             """Rollout + GAE (the reference's 'collection' half,
             on_policy_runner.py:149-181)."""
-            env_state, obs, traj, logs = rollout(
-                ts, env_state, obs, key, adaptation_mode
+            env_state, obs, traj, logs, cur_rew, cur_len = rollout(
+                ts, env_state, obs, key, cur_rew, cur_len, adaptation_mode
             )
             last_values = nets.value(ts.params, obs.critic)
             returns, advantages = ppo_lib.compute_gae(
                 traj, last_values, cfg.gamma, cfg.lam
             )
-            return env_state, obs, traj, returns, advantages, logs
+            # reduce the per-step episode scalars here so the host reads O(1)
+            # numbers per iteration instead of (T,)-arrays
+            logs = dict(
+                logs,
+                fin_rew_sum=jnp.sum(logs["fin_rew_sum"]),
+                fin_len_sum=jnp.sum(logs["fin_len_sum"]),
+                fin_count=jnp.sum(logs["fin_count"]),
+            )
+            return env_state, obs, traj, returns, advantages, logs, cur_rew, cur_len
 
         def update_phase(ts, traj, returns, advantages, key,
                          adaptation_mode: bool, axis_name=None):
@@ -170,7 +223,7 @@ class OnPolicyRunner:
         self._collect = {
             mode: jax.jit(
                 functools.partial(collect_phase, adaptation_mode=mode),
-                donate_argnums=(1, 2),
+                donate_argnums=(1, 2, 4, 5),
             )
             for mode in (False, True)
         }
@@ -222,12 +275,22 @@ class OnPolicyRunner:
         }
         self._collection_time = 0.0
         self._learn_time = 0.0
+        # per-env episode accumulators, device-resident (lazily initialized so
+        # they inherit the sharding layout of their first use)
+        self._cur_rew = None
+        self._cur_len = None
 
     def _run_iteration(self, mode, ts, env_state, obs, key, timeit=False):
+        if self._cur_rew is None:
+            self._cur_rew = jnp.zeros(self.env.num_envs)
+            self._cur_len = jnp.zeros(self.env.num_envs, jnp.int32)
         k_roll, k_upd = jax.random.split(key)
         t0 = time.time()
-        env_state, obs, traj, returns, advantages, logs = self._collect[mode](
-            ts, env_state, obs, k_roll
+        (
+            env_state, obs, traj, returns, advantages, logs,
+            self._cur_rew, self._cur_len,
+        ) = self._collect[mode](
+            ts, env_state, obs, k_roll, self._cur_rew, self._cur_len
         )
         if timeit:
             jax.block_until_ready(returns)
@@ -257,10 +320,7 @@ class OnPolicyRunner:
             )
             self.env_state = self._shard_state(self.env_state)
 
-        rewbuffer = deque(maxlen=100)
-        lenbuffer = deque(maxlen=100)
-        cur_reward_sum = np.zeros(self.env.num_envs)
-        cur_episode_length = np.zeros(self.env.num_envs)
+        ep_window = _EpisodeWindow(target_episodes=100)
 
         tot_iter = self.current_learning_iteration + num_learning_iterations
         metrics = {}
@@ -284,23 +344,18 @@ class OnPolicyRunner:
             )
             iter_time = time.time() - start
 
-            # episode bookkeeping (host side)
-            rewards = np.asarray(logs["rewards"])  # (T, B)
-            dones = np.asarray(logs["dones"])
-            for t in range(rewards.shape[0]):
-                cur_reward_sum += rewards[t]
-                cur_episode_length += 1
-                finished = dones[t] > 0
-                if finished.any():
-                    rewbuffer.extend(cur_reward_sum[finished].tolist())
-                    lenbuffer.extend(cur_episode_length[finished].tolist())
-                    cur_reward_sum[finished] = 0
-                    cur_episode_length[finished] = 0
+            # episode bookkeeping: three device-reduced scalars per iteration
+            # (the per-env accumulation ran inside the collection phase)
+            ep_window.push(
+                float(logs["fin_rew_sum"]),
+                float(logs["fin_len_sum"]),
+                int(logs["fin_count"]),
+            )
 
             self.tot_timesteps += self.num_steps_per_env * self.env.num_envs
             self.tot_time += iter_time
             fps = int(self.num_steps_per_env * self.env.num_envs / iter_time)
-            self._log(it, tot_iter, metrics, logs, fps, iter_time, rewbuffer, lenbuffer)
+            self._log(it, tot_iter, metrics, logs, fps, iter_time, ep_window)
             if it % self.save_interval == 0 and self.log_dir is not None:
                 self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
         self.current_learning_iteration = tot_iter
@@ -309,8 +364,9 @@ class OnPolicyRunner:
         return metrics
 
     # ------------------------------------------------------------------
-    def _log(self, it, tot_iter, metrics, logs, fps, iter_time, rewbuffer, lenbuffer,
+    def _log(self, it, tot_iter, metrics, logs, fps, iter_time, ep_window,
              width=80, pad=35):
+        mean_reward, mean_len, have_eps = ep_window.means()
         m = {k: float(np.asarray(v)) for k, v in metrics.items()}
         if self.writer is not None:
             ep = jax.tree.map(lambda x: np.asarray(x), logs["episode"])
@@ -327,10 +383,10 @@ class OnPolicyRunner:
             self.writer.add_scalar("Perf/total_fps", fps, it)
             self.writer.add_scalar("Perf/collection time", self._collection_time, it)
             self.writer.add_scalar("Perf/learning_time", self._learn_time, it)
-            if len(rewbuffer) > 0:
-                self.writer.add_scalar("Train/mean_reward", float(np.mean(rewbuffer)), it)
+            if have_eps:
+                self.writer.add_scalar("Train/mean_reward", mean_reward, it)
                 self.writer.add_scalar(
-                    "Train/mean_episode_length", float(np.mean(lenbuffer)), it
+                    "Train/mean_episode_length", mean_len, it
                 )
         head = f" Learning iteration {it}/{tot_iter} "
         lines = [
@@ -345,9 +401,9 @@ class OnPolicyRunner:
             f"{'Estimator loss:':>{pad}} {m.get('est_loss', 0.0):.4f}",
             f"{'Mean action noise std:':>{pad}} {m.get('mean_std', 0.0):.2f}",
         ]
-        if len(rewbuffer) > 0:
-            lines.append(f"{'Mean reward:':>{pad}} {np.mean(rewbuffer):.2f}")
-            lines.append(f"{'Mean episode length:':>{pad}} {np.mean(lenbuffer):.2f}")
+        if have_eps:
+            lines.append(f"{'Mean reward:':>{pad}} {mean_reward:.2f}")
+            lines.append(f"{'Mean episode length:':>{pad}} {mean_len:.2f}")
         lines.append(f"{'Total timesteps:':>{pad}} {self.tot_timesteps}")
         lines.append(f"{'Total time:':>{pad}} {self.tot_time:.2f}s")
         print("\n".join(lines))

@@ -88,16 +88,25 @@ def main():
     print(f"backend={jax.default_backend()} batch={args.batch}", flush=True)
 
     def xla_step(s, a):
-        import os
+        return phys.control_step(ma, hf, params, pd, dr, dof_limits, s, a)
 
-        os.environ["LGC_FUSED_KERNEL"] = "0"
-        out = phys.control_step(ma, hf, params, pd, dr, dof_limits, s, a)
-        os.environ["LGC_FUSED_KERNEL"] = "auto"
-        return out
+    # The LGC_FUSED_KERNEL flag is read at trace time, so disable the kernel
+    # only around the trace and restore the user's value afterwards
+    # (ADVICE r2: don't mutate env vars inside the jitted function).
+    import os
 
-    t0 = time.time()
-    ref_state, ref_info, _ = jax.block_until_ready(jax.jit(xla_step)(state, actions))
-    print(f"xla compile {time.time() - t0:.1f}s", flush=True)
+    prior = os.environ.get("LGC_FUSED_KERNEL")
+    os.environ["LGC_FUSED_KERNEL"] = "0"
+    try:
+        jit_xla = jax.jit(xla_step)
+        t0 = time.time()
+        ref_state, ref_info, _ = jax.block_until_ready(jit_xla(state, actions))
+        print(f"xla compile {time.time() - t0:.1f}s", flush=True)
+    finally:
+        if prior is None:
+            os.environ.pop("LGC_FUSED_KERNEL", None)
+        else:
+            os.environ["LGC_FUSED_KERNEL"] = prior
 
     t0 = time.time()
     fused = fused_step.maybe_fused_control_step(
@@ -124,7 +133,6 @@ def main():
         jax.block_until_ready(out)
         return (time.time() - t0) / n
 
-    jit_xla = jax.jit(xla_step)
     t_xla = bench(lambda: jit_xla(state, actions), args.iters)
     t_fused = bench(
         lambda: fused_step.maybe_fused_control_step(

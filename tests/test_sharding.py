@@ -49,16 +49,18 @@ def test_compiled_hlo_contains_allreduce():
     state = runner._shard_state(state)
     obs = runner._shard_state(obs)
 
+    cur_rew = jnp.zeros(env.num_envs)
+    cur_len = jnp.zeros(env.num_envs, jnp.int32)
     hlo_collect = (
         runner._collect[False]
-        .lower(runner.train_state, state, obs, key)
+        .lower(runner.train_state, state, obs, key, cur_rew, cur_len)
         .compile()
         .as_text()
     )
     assert "all-reduce" in hlo_collect
 
-    _, _, traj, returns, advantages, _ = runner._collect[False](
-        runner.train_state, state, obs, key
+    _, _, traj, returns, advantages, _, _, _ = runner._collect[False](
+        runner.train_state, state, obs, key, cur_rew, cur_len
     )
     hlo_update = (
         runner._update[False]
