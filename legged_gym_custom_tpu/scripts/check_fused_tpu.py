@@ -116,14 +116,30 @@ def main():
     (pos, quat, lin, ang, q, qd), link_forces, torques = jax.block_until_ready(fused)
     print(f"pallas compile {time.time() - t0:.1f}s", flush=True)
 
-    deltas = {
-        "pos": float(jnp.abs(pos - ref_state.base_pos).max()),
-        "quat": float(jnp.abs(quat - ref_state.base_quat).max()),
-        "dof_pos": float(jnp.abs(q - ref_state.dof_pos).max()),
-        "dof_vel": float(jnp.abs(qd - ref_state.dof_vel).max()),
-        "torques": float(jnp.abs(torques - ref_info.torques).max()),
-        "link_forces": float(jnp.abs(link_forces - ref_info.link_forces).max()),
+    # Parity stats.  max-abs alone is misleading under stiff contact: a
+    # float-associativity difference in penetration depth at a contact on/off
+    # boundary is amplified by the spring stiffness, so a handful of
+    # grazing-contact envs dominate the max while the batch median is tiny.
+    # Report per-env-reduced percentiles + the fraction of envs past a
+    # loose gate alongside the max.
+    pairs = {
+        "pos": (pos, ref_state.base_pos),
+        "quat": (quat, ref_state.base_quat),
+        "dof_pos": (q, ref_state.dof_pos),
+        "dof_vel": (qd, ref_state.dof_vel),
+        "torques": (torques, ref_info.torques),
+        "link_forces": (link_forces, ref_info.link_forces),
     }
+    deltas, delta_p50, delta_p99, outlier_frac = {}, {}, {}, {}
+    gates = {"dof_pos": 0.01, "dof_vel": 1.0}
+    for name, (a, b) in pairs.items():
+        err = np.asarray(jnp.abs(a - b))
+        per_env = err.reshape(-1, err.shape[-1]).max(axis=0)  # (B,)
+        deltas[name] = float(per_env.max())
+        delta_p50[name] = float(np.percentile(per_env, 50))
+        delta_p99[name] = float(np.percentile(per_env, 99))
+        if name in gates:
+            outlier_frac[name] = float((per_env > gates[name]).mean())
 
     def bench(fn, n):
         fn()  # warm
@@ -144,6 +160,9 @@ def main():
         "metric": "fused_control_step",
         "batch": args.batch,
         "parity_max_abs": deltas,
+        "parity_p50_abs": delta_p50,
+        "parity_p99_abs": delta_p99,
+        "parity_outlier_env_frac": outlier_frac,
         "xla_ms": round(t_xla * 1e3, 3),
         "pallas_ms": round(t_fused * 1e3, 3),
         "xla_env_steps_per_s": round(args.batch / t_xla),
