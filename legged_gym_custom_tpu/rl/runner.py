@@ -179,9 +179,13 @@ class OnPolicyRunner:
                 traj, last_values, cfg.gamma, cfg.lam
             )
             # reduce the per-step episode scalars here so the host reads O(1)
-            # numbers per iteration instead of (T,)-arrays
+            # numbers per iteration instead of (T,)-arrays; the episode dict
+            # keeps the same step-mean semantics _log previously computed on
+            # the host (reference on_policy_runner.py:205-217)
             logs = dict(
                 logs,
+                episode=jax.tree.map(jnp.mean, logs["episode"]),
+                n_resets=jnp.sum(logs["n_resets"]),
                 fin_rew_sum=jnp.sum(logs["fin_rew_sum"]),
                 fin_len_sum=jnp.sum(logs["fin_len_sum"]),
                 fin_count=jnp.sum(logs["fin_count"]),
@@ -275,6 +279,12 @@ class OnPolicyRunner:
         }
         self._collection_time = 0.0
         self._learn_time = 0.0
+        # pack every per-iteration logging scalar into ONE device array so
+        # the host pays a single D2H round-trip per iteration instead of ~40
+        # (each np.asarray on a device scalar is a full tunnel RTT here)
+        self._pack_scalars = jax.jit(
+            lambda leaves: jnp.stack([jnp.asarray(l, jnp.float32) for l in leaves])
+        )
         # per-env episode accumulators, device-resident (lazily initialized so
         # they inherit the sharding layout of their first use)
         self._cur_rew = None
@@ -301,6 +311,12 @@ class OnPolicyRunner:
             jax.block_until_ready(metrics)
             self._learn_time = time.time() - t1
         return ts, env_state, obs, metrics, logs
+
+    def _host_scalars(self, metrics, logs):
+        """One batched D2H transfer for all logging scalars -> python floats."""
+        leaves, treedef = jax.tree.flatten((metrics, logs))
+        packed = np.asarray(self._pack_scalars(leaves))
+        return jax.tree.unflatten(treedef, [float(v) for v in packed])
 
     # ------------------------------------------------------------------
     def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = False):
@@ -344,12 +360,13 @@ class OnPolicyRunner:
             )
             iter_time = time.time() - start
 
-            # episode bookkeeping: three device-reduced scalars per iteration
+            # single batched transfer of every logging scalar
+            metrics, logs = self._host_scalars(metrics, logs)
+
+            # episode bookkeeping: device-reduced scalars per iteration
             # (the per-env accumulation ran inside the collection phase)
             ep_window.push(
-                float(logs["fin_rew_sum"]),
-                float(logs["fin_len_sum"]),
-                int(logs["fin_count"]),
+                logs["fin_rew_sum"], logs["fin_len_sum"], int(logs["fin_count"])
             )
 
             self.tot_timesteps += self.num_steps_per_env * self.env.num_envs
@@ -367,11 +384,10 @@ class OnPolicyRunner:
     def _log(self, it, tot_iter, metrics, logs, fps, iter_time, ep_window,
              width=80, pad=35):
         mean_reward, mean_len, have_eps = ep_window.means()
-        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        m = metrics  # host floats (learn() ran _host_scalars)
         if self.writer is not None:
-            ep = jax.tree.map(lambda x: np.asarray(x), logs["episode"])
-            for key, arr in ep.items():
-                self.writer.add_scalar("Episode/" + key, float(np.mean(arr)), it)
+            for key, val in logs["episode"].items():
+                self.writer.add_scalar("Episode/" + key, val, it)
             self.writer.add_scalar("Loss/value_function", m.get("value_loss", 0.0), it)
             self.writer.add_scalar("Loss/surrogate", m.get("surrogate_loss", 0.0), it)
             self.writer.add_scalar("Loss/regularization", m.get("reg_loss", 0.0), it)
