@@ -373,9 +373,11 @@ class OnPolicyRunner:
             self.tot_time += iter_time
             fps = int(self.num_steps_per_env * self.env.num_envs / iter_time)
             self._log(it, tot_iter, metrics, logs, fps, iter_time, ep_window)
+            # keep the counter live so mid-run checkpoints carry the true
+            # iteration (a stale counter made every mid-run ckpt resume at 0)
+            self.current_learning_iteration = it + 1
             if it % self.save_interval == 0 and self.log_dir is not None:
                 self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
-        self.current_learning_iteration = tot_iter
         if self.log_dir is not None:
             self.save(os.path.join(self.log_dir, f"model_{tot_iter}.ckpt"))
         return metrics

@@ -41,6 +41,12 @@ def test_learn_saves_and_resumes(tiny_runner):
     for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert runner2.current_learning_iteration == 2
+    # MID-RUN checkpoints must carry the live iteration too (a stale counter
+    # once made every mid-run ckpt claim iter=0 and resume from scratch):
+    # model_1.ckpt is written right after iteration 1 completes
+    runner3 = OnPolicyRunner(env, train_cfg, log_dir=None, use_mesh=False)
+    runner3.load(os.path.join(log_dir, "model_1.ckpt"))
+    assert runner3.current_learning_iteration == 2
     # optimizer state restored too (fixes reference quirk)
     a_leaves = jax.tree.leaves(runner2.train_state.opt_state_est)
     b_leaves = jax.tree.leaves(runner.train_state.opt_state_est)
