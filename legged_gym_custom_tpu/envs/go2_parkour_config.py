@@ -133,10 +133,54 @@ class Go2ParkourCfgPPO(Go2CfgPPO):
 
 
 class Go2ParkourFinetuneCfg(Go2ParkourCfg):
-    pass
+    """Jump finetuning (reference go2_parkour_finetune_config.py:3-55).
+
+    The curriculum's plain gap courses teach running but let the policy
+    settle into edge-hovering at wider gaps; the finetune stage switches to a
+    fixed course of composite obstacles — [0.3 m gap, raised 0.2 m-long
+    platform (+0.10..+0.35 m), 0.4 m gap] — that can only be crossed by an
+    actual jump, with curriculum off, a wider command range, and a foot
+    contact-force penalty for landing hard."""
+
+    class terrain(Go2ParkourCfg.terrain):
+        parkour = True
+        curriculum = False
+        add_roughness_to_selected_terrain = False
+
+        _gap_heights = [-2.0, 0.10, -2.0, -2.0, 0.15, -2.0,
+                        -2.0, 0.20, -2.0, -2.0, 0.25, -2.0,
+                        -2.0, 0.30, -2.0, -2.0, 0.35, -2.0]
+        _x_positions = [6.0, 6.3, 6.7, 10.0, 10.3, 10.7,
+                        14.0, 14.3, 14.7, 18.0, 18.3, 18.7,
+                        22.0, 22.3, 22.7, 26.0, 26.3, 26.7]
+
+        parkour_kwargs = {
+            "start_platform_length": 3.0,
+            "start_platform_height": 0.0,
+            "x_positions": _x_positions,
+            "y_positions": [0.0, 0.0, 0.0] * 6,
+            "obstacle_heights": _gap_heights,
+            "obstacle_lengths": [0.3, 0.2, 0.4] * 6,
+            "half_valid_width": 5.0,
+            "border_width": 0.50,
+            "border_height": -2.0,
+        }
+
+    class commands(Go2ParkourCfg.commands):
+        class ranges(Go2ParkourCfg.commands.ranges):
+            lin_vel_x = [0.5, 2.0]
+
+    class rewards(Go2ParkourCfg.rewards):
+        max_contact_force = 75.0
+
+        class scales(Go2ParkourCfg.rewards.scales):
+            feet_contact_forces = -0.01
 
 
 class Go2ParkourFinetuneCfgPPO(Go2ParkourCfgPPO):
     class runner(Go2ParkourCfgPPO.runner):
-        experiment_name = "go2_parkour_finetune"
+        run_name = "parkour_finetune"
+        # same experiment dir as the base task so resume finds its checkpoints
+        # (reference go2_parkour_finetune_config.py:57-60)
+        experiment_name = "go2_parkour"
         resume = True  # flips ROA schedule to flat 0.1 (reference ppo.py:42-43)
