@@ -20,13 +20,20 @@ class BaseConfig:
     @staticmethod
     def init_member_classes(obj) -> None:
         for key in dir(obj):
-            if key == "__class__":
+            if key.startswith("__"):
                 continue
             var = getattr(obj, key)
             if isinstance(var, type):
                 i_var = var()
                 setattr(obj, key, i_var)
                 BaseConfig.init_member_classes(i_var)
+            elif isinstance(var, (dict, list)):
+                # copy mutable defaults onto the instance: in-place mutation
+                # of e.g. cfg.terrain.parkour_kwargs must not leak into the
+                # CLASS attribute and poison every later get_cfgs() call
+                # (a latent footgun inherited from the reference DSL,
+                # base_config.py:38-55)
+                setattr(obj, key, copy.deepcopy(var))
 
 
 def class_to_dict(obj) -> Dict[str, Any]:

@@ -126,3 +126,18 @@ def test_parkour_env_builds():
         state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
     assert np.isfinite(np.asarray(obs.obs)).all()
     assert "terrain_level" in info["episode"]
+
+
+def test_config_instances_isolated():
+    """Mutating one cfg instance's nested dict/list must not leak into the
+    class attribute and poison later get_cfgs() calls (utils/config.py
+    deep-copies mutable defaults at instantiation)."""
+    from legged_gym_custom_tpu.envs import task_registry
+
+    a, _ = task_registry.get_cfgs("go2_parkour")
+    orig = list(a.terrain.parkour_kwargs["obstacle_lengths"])
+    a.terrain.parkour_kwargs["obstacle_lengths"] = [0.123] * 7
+    a.terrain.terrain_proportions[0] = 0.5
+    b, _ = task_registry.get_cfgs("go2_parkour")
+    assert b.terrain.parkour_kwargs["obstacle_lengths"] == orig
+    assert b.terrain.terrain_proportions[0] == 1.0
