@@ -185,6 +185,14 @@ class LeggedRobotCfg(BaseConfig):
         contact_friction_vel = 80.0
         joint_limit_stiffness = 60.0
         joint_limit_damping = 2.0
+        # --- joint passive dynamics (scalar or {name-substring: value} dict,
+        # matched like control.stiffness).  Defaults 0 = the reference's Isaac
+        # training plant (armature=0, legged_robot_config.py:107); robot
+        # configs override with their deploy plant's values (go2.xml:9) so
+        # trained policies transfer.
+        joint_damping = 0.0
+        joint_armature = 0.0
+        joint_frictionloss = 0.0
 
     class parallel:
         """TPU mesh layout (no reference analog; SURVEY §2.5 obligations)."""

@@ -132,6 +132,21 @@ class LeggedEnv:
             jnp.asarray(m.dof_pos_limits[:, 1], jnp.float32),
             jnp.asarray(m.dof_vel_limits, jnp.float32),
         )
+        def _per_dof(spec):
+            """Scalar or {name-substring: value} dict -> (ndof,) array or
+            None if all-zero (matching control.stiffness name semantics)."""
+            vals = np.zeros(m.num_dof)
+            if isinstance(spec, dict):
+                for i, dname in enumerate(m.dof_names):
+                    for key_s, v in spec.items():
+                        if key_s in dname:
+                            vals[i] = v
+            else:
+                vals[:] = float(spec)
+            if not np.any(vals):
+                return None
+            return jnp.asarray(vals, jnp.float32)
+
         self.sim_params = phys.SimParams(
             dt=cfg.sim.dt,
             decimation=cfg.control.decimation,
@@ -145,6 +160,9 @@ class LeggedEnv:
             ),
             joint_limit_stiffness=cfg.sim.joint_limit_stiffness,
             joint_limit_damping=cfg.sim.joint_limit_damping,
+            dof_damping=_per_dof(getattr(cfg.sim, "joint_damping", 0.0)),
+            dof_armature=_per_dof(getattr(cfg.sim, "joint_armature", 0.0)),
+            dof_frictionloss=_per_dof(getattr(cfg.sim, "joint_frictionloss", 0.0)),
         )
 
         # ---- link groups (name-substring matching, legged_robot.py:846-894) ----

@@ -76,6 +76,22 @@ class Go2Cfg(LeggedRobotCfg):
         terminate_after_contacts_on = ["base"]
         self_collisions = 0
 
+    class sim(LeggedRobotCfg.sim):
+        # Plant fidelity for sim-to-sim transfer (round-4; VERDICT r3 #1):
+        # joint passive dynamics from the deploy plant (go2.xml:9) and a
+        # stiffer, overdamped contact so the trained gait does not exploit
+        # penalty-spring push-off energy that MuJoCo's hard contact (and the
+        # real robot) won't return.  substeps=4 keeps the explicit integrator
+        # inside its stability bound at the higher stiffness
+        # (tests/test_engine.py::test_contact_stability_bounds).
+        substeps = 4
+        contact_stiffness = 40000.0
+        contact_damping = 250.0
+        contact_friction_vel = 250.0
+        joint_damping = 0.1
+        joint_armature = 0.01
+        joint_frictionloss = 0.2
+
     class commands(LeggedRobotCfg.commands):
         resampling_time = 10.0
         zero_command = True

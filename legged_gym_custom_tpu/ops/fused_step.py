@@ -238,6 +238,11 @@ class FusedSpec(NamedTuple):
     jl_stiffness: float
     jl_damping: float
     dof_vel_clamp: bool
+    # joint passive dynamics (engine._joint_passive_torque / aba armature)
+    jd_damping: tuple      # (ndof,) viscous joint damping
+    jd_armature: tuple     # (ndof,) reflected rotor inertia
+    jd_frictionloss: tuple  # (ndof,) Coulomb friction magnitude
+    fl_eps: float          # tanh smoothing velocity
     # PD
     p_gains: tuple
     d_gains: tuple
@@ -288,6 +293,14 @@ def build_spec(ma, params, pd, dof_limits) -> FusedSpec:
         jl_stiffness=float(params.joint_limit_stiffness),
         jl_damping=float(params.joint_limit_damping),
         dof_vel_clamp=bool(params.dof_vel_clamp),
+        jd_damping=_t(params.dof_damping) if params.dof_damping is not None
+        else (0.0,) * (len(ma.parent) - 1),
+        jd_armature=_t(params.dof_armature) if params.dof_armature is not None
+        else (0.0,) * (len(ma.parent) - 1),
+        jd_frictionloss=_t(params.dof_frictionloss)
+        if params.dof_frictionloss is not None
+        else (0.0,) * (len(ma.parent) - 1),
+        fl_eps=float(params.frictionloss_vel_eps),
         p_gains=_t(pd.p_gains),
         d_gains=_t(pd.d_gains),
         default_dof_pos=_t(pd.default_dof_pos),
@@ -389,7 +402,8 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
             lf = link_force[spec.geom_link[g]]
             lf[k] = lf[k] + force[k]
 
-    # ---- joint-limit torque (engine._joint_limit_torque)
+    # ---- joint-limit torque (engine._joint_limit_torque) + passive joint
+    # dynamics (engine._joint_passive_torque: viscous damping + tanh Coulomb)
     tau_total = []
     for j in range(ndof):
         qj = st["q"][j]
@@ -400,7 +414,12 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
         tjl = -spec.jl_stiffness * (below + above) - jnp.where(
             viol, spec.jl_damping * qdj, 0.0
         )
-        tau_total.append(tau[j] + tjl)
+        t = tau[j] + tjl
+        if spec.jd_damping[j] != 0.0:
+            t = t - spec.jd_damping[j] * qdj
+        if spec.jd_frictionloss[j] != 0.0:
+            t = t - spec.jd_frictionloss[j] * jnp.tanh(qdj * (1.0 / spec.fl_eps))
+        tau_total.append(t)
 
     # ---- articulated-body algorithm (algorithms.aba)
     g3 = list(spec.gravity)
@@ -441,7 +460,7 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
         axis = spec.joint_axis[i]
         S6 = list(axis) + [0.0, 0.0, 0.0]
         U[i] = _mv(IA[i], S6)
-        d_[i] = _dot(S6, U[i])
+        d_[i] = _dot(S6, U[i]) + spec.jd_armature[i - 1]
         u_[i] = tau_total[i - 1] - _dot(S6, pA[i])
         inv_d = 1.0 / d_[i]
         Ia = [

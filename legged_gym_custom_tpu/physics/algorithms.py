@@ -140,12 +140,14 @@ def forward_kinematics(m: ModelArrays, base_quat, base_pos, dof_pos, v_base, dof
 
 
 def rnea(m, inertias, base_quat, dof_pos, v_base, dof_vel, qdd_base, qdd, f_ext=None,
-         gravity=(0.0, 0.0, -9.81)):
+         gravity=(0.0, 0.0, -9.81), armature=None):
     """Inverse dynamics: generalized forces producing given accelerations.
 
     Gravity enters via the fictitious base acceleration trick (Featherstone
     RBDA §5.3).  Returns (f0 (6,)+bs base wrench in base coords, tau).  With
     qdd = 0 this yields the bias force, comparable to MuJoCo's qfrc_bias.
+    `armature` ((ndof,) or None) adds reflected rotor inertia in joint space
+    (MuJoCo `armature` semantics): tau_i += armature_i * qdd_i.
     """
     nb = m.nb
     bs = jnp.shape(base_quat)[1:]
@@ -181,15 +183,19 @@ def rnea(m, inertias, base_quat, dof_pos, v_base, dof_vel, qdd_base, qdd, f_ext=
     for i in range(nb - 1, 0, -1):
         S = _S(m, i, bs)
         tau[i - 1] = soa.dot(S * jnp.ones_like(f[i]), f[i])
+        if armature is not None:
+            tau[i - 1] = tau[i - 1] + armature[i - 1] * qdd[i - 1]
         p = m.parent[i]
         f[p] = f[p] + soa.inv_xform_force(E_up[i], p_up[i], f[i])
     return f[0], jnp.stack(tau) if tau else jnp.zeros((0,) + bs)
 
 
-def crba(m, inertias, base_quat, dof_pos):
+def crba(m, inertias, base_quat, dof_pos, armature=None):
     """Composite rigid-body algorithm: mass matrix (nv, nv)+bs.
 
     Row/col order: [base 6 dof (ang, lin in base coords); joints].
+    `armature` adds reflected rotor inertia on each joint diagonal (MuJoCo
+    semantics; reference deploy plant go2.xml:9 armature=0.01).
     """
     nb = m.nb
     bs = jnp.shape(base_quat)[1:]
@@ -205,7 +211,10 @@ def crba(m, inertias, base_quat, dof_pos):
     for i in range(1, nb):
         S = _S(m, i, bs) * jnp.ones((6,) + bs, dof_pos.dtype)
         F = soa.mv(Ic[i], S)
-        H = H.at[6 + i - 1, 6 + i - 1].set(soa.dot(S, F))
+        d_ii = soa.dot(S, F)
+        if armature is not None:
+            d_ii = d_ii + armature[i - 1]
+        H = H.at[6 + i - 1, 6 + i - 1].set(d_ii)
         j = i
         while m.parent[j] > 0:
             F = soa.mtv(X[j], F)
@@ -221,13 +230,15 @@ def crba(m, inertias, base_quat, dof_pos):
 
 
 def aba(m, inertias, base_quat, dof_pos, v_base, dof_vel, tau, f_ext=None,
-        gravity=(0.0, 0.0, -9.81)):
+        gravity=(0.0, 0.0, -9.81), armature=None):
     """Articulated-body forward dynamics.
 
     Args:
       inertias: list from body_inertias().
       tau: (ndof,)+bs joint torques.
       f_ext: optional (nb, 6)+bs per-body [n; f] world axes, body origins.
+      armature: optional (ndof,) reflected rotor inertia added in joint space
+        (MuJoCo `armature`; reference deploy plant go2.xml:9 uses 0.01).
     Returns: (a_base (6,)+bs true spatial accel in base coords, qdd).
     Gravity is an explicit per-body external wrench at the com, so returned
     accelerations are true coordinate accelerations.
@@ -272,6 +283,8 @@ def aba(m, inertias, base_quat, dof_pos, v_base, dof_vel, tau, f_ext=None,
         Si = S[i] * jnp.ones((6,) + bs, dtype)
         U[i] = soa.mv(IA[i], Si)
         d[i] = soa.dot(Si, U[i])
+        if armature is not None:
+            d[i] = d[i] + armature[i - 1]
         u[i] = tau[i - 1] - soa.dot(Si, pA[i])
         Ia = IA[i] - soa.outer(U[i], U[i]) / d[i]
         pa = pA[i] + soa.mv(Ia, c[i]) + U[i] * (u[i] / d[i])

@@ -55,6 +55,14 @@ class SimParams(NamedTuple):
     # (<=0.7 m for Go2) plus base drift within one step.  0 disables the
     # patch path (every substep then gathers from the global table).
     patch_halfwidth: float = 1.2
+    # --- joint passive dynamics (the reference's deploy plant carries
+    # per-joint damping 0.1, armature 0.01, frictionloss 0.2 — go2.xml:9 —
+    # that the training plant must model for policies to transfer).
+    # Each is None (off) or an (ndof,) array.
+    dof_damping: jnp.ndarray | None = None       # viscous: -d * qd
+    dof_armature: jnp.ndarray | None = None      # reflected rotor inertia
+    dof_frictionloss: jnp.ndarray | None = None  # Coulomb: -fl * tanh(qd/eps)
+    frictionloss_vel_eps: float = 0.1  # [rad/s] tanh smoothing of sign(qd)
 
 
 class DomainRandParams(NamedTuple):
@@ -97,6 +105,30 @@ def _joint_limit_torque(params: SimParams, limits_lo, limits_hi, dof_pos, dof_ve
     )
 
 
+def _joint_passive_torque(params: SimParams, dof_vel):
+    """Viscous damping + smoothed Coulomb friction at the joints.
+
+    Models the deploy plant's per-joint `damping` and `frictionloss`
+    (go2.xml:9).  MuJoCo resolves frictionloss in its constraint solver
+    (true stiction); for an explicit batched integrator the standard smooth
+    surrogate is -fl * tanh(qd / eps), which matches the dissipation while
+    moving and stays stable (slope fl/eps acts as extra damping near qd=0 —
+    bounded well inside the explicit stability limit for eps=0.1, see
+    tests/test_engine.py::test_joint_passive_dynamics).
+    """
+    tau = None
+    if params.dof_damping is not None:
+        bs = dof_vel.shape[1:]
+        tau = -soa.bcast(params.dof_damping, bs) * dof_vel
+    if params.dof_frictionloss is not None:
+        bs = dof_vel.shape[1:]
+        fric = -soa.bcast(params.dof_frictionloss, bs) * jnp.tanh(
+            dof_vel / params.frictionloss_vel_eps
+        )
+        tau = fric if tau is None else tau + fric
+    return tau
+
+
 def substep(
     ma: ModelArrays,
     hf: Heightfield,
@@ -120,6 +152,9 @@ def substep(
     tau_total = tau + _joint_limit_torque(
         params, dof_limits[0], dof_limits[1], state.dof_pos, state.dof_vel
     )
+    tau_passive = _joint_passive_torque(params, state.dof_vel)
+    if tau_passive is not None:
+        tau_total = tau_total + tau_passive
     if inertias is None:
         # inertias depend only on the domain-rand params; callers stepping in
         # a loop should hoist body_inertias() out (control_step does)
@@ -134,6 +169,7 @@ def substep(
         tau_total,
         f_ext=contacts.body_wrench,
         gravity=params.gravity,
+        armature=params.dof_armature,
     )
     # semi-implicit Euler in the base frame
     w_b = v_base[0:3] + a0[0:3] * dt

@@ -104,10 +104,16 @@ class RobotModel:
     # dynamics can be validated step-by-step against the oracle (SURVEY §4).
     # ------------------------------------------------------------------
     def to_mjcf(self, contact: bool = False, friction: float = 1.0,
-                timestep: float = 0.005) -> str:
+                timestep: float = 0.005, joint_damping=0.0,
+                joint_armature=0.0, joint_frictionloss=0.0) -> str:
         """Equivalent MJCF. contact=False (dynamics-only oracle) disables all
         collisions; contact=True adds a ground plane + sphere contacts so the
-        full stepping pipeline can be compared sim-to-sim."""
+        full stepping pipeline can be compared sim-to-sim.
+
+        joint_damping / joint_armature / joint_frictionloss (scalar or
+        per-dof) mirror the reference deploy plant's per-joint dynamics
+        (go2.xml:9: damping=0.1 armature=0.01 frictionloss=0.2) so parity
+        tests can compare against the *full* plant, not a zeroed one."""
         import xml.etree.ElementTree as ET
 
         def fmt(a):
@@ -175,6 +181,8 @@ class RobotModel:
             if i == 0:
                 ET.SubElement(body, "freejoint", name="root")
             else:
+                per_dof = lambda v: float(np.broadcast_to(
+                    np.asarray(v, np.float64), (self.nb - 1,))[i - 1])
                 ET.SubElement(
                     body,
                     "joint",
@@ -182,8 +190,9 @@ class RobotModel:
                     type="hinge",
                     axis=fmt(self.joint_axis[i]),
                     limited="false",
-                    damping="0",
-                    armature="0",
+                    damping=f"{per_dof(joint_damping):.12g}",
+                    armature=f"{per_dof(joint_armature):.12g}",
+                    frictionloss=f"{per_dof(joint_frictionloss):.12g}",
                 )
         for g in range(self.ng):
             ET.SubElement(

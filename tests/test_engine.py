@@ -99,6 +99,75 @@ def test_standing_stable(go2):
     np.testing.assert_allclose(np.mean(sums), model.mass.sum() * 9.81, rtol=0.25)
 
 
+GO2_PLANT = dict(
+    dof_damping=jnp.full(12, 0.1),
+    dof_armature=jnp.full(12, 0.01),
+    dof_frictionloss=jnp.full(12, 0.2),
+)
+STIFF_CONTACT = phys.ContactParams(
+    stiffness=40000.0, damping=250.0, friction_vel=250.0, terrain_friction=1.0
+)
+
+
+def test_joint_passive_dynamics(go2):
+    """The go2.xml:9 joint damping/armature/frictionloss surrogate (round 4).
+
+    (a) the tanh Coulomb friction dissipates: a torque below frictionloss
+    barely moves the joint; (b) armature slows qdd for the same torque;
+    (c) the full plant is stable at the stiff-contact settings.
+    """
+    model, ma, pd, dof_limits, dr = go2
+    hf = phys.plane()
+
+    # (a)+(b): freefall (no contact) joint response to a small constant torque
+    def qdd_probe(params, tau_z):
+        st = _init_state(z=100.0)
+        tfn = lambda a, q, qd, s: (jnp.full(12, tau_z), s)
+        st2, _, _ = phys.control_step(
+            ma, hf, params, pd, dr, dof_limits, st,
+            jnp.zeros(12), torque_fn=tfn,
+        )
+        return np.asarray(st2.dof_pos) - DEFAULT_ANGLES
+
+    base = phys.SimParams()
+    full = phys.SimParams(**GO2_PLANT)
+    # torque below frictionloss: full plant moves far less than the free plant
+    dq_free = np.abs(qdd_probe(base, 0.15)).max()
+    dq_full = np.abs(qdd_probe(full, 0.15)).max()
+    assert dq_full < 0.35 * dq_free, (dq_free, dq_full)
+    # large torque: armature + damping still slow the response measurably
+    dq_free = np.abs(qdd_probe(base, 5.0)).max()
+    dq_full = np.abs(qdd_probe(full, 5.0)).max()
+    assert dq_full < dq_free
+
+    # (c): stiff contact + full plant, dropped from 10 cm up — stays finite,
+    # settles without rebound (the overdamped contact returns no push-off
+    # energy: peak post-drop height stays below the drop height)
+    params = phys.SimParams(substeps=4, contact=STIFF_CONTACT, **GO2_PLANT)
+    state = _init_state(z=0.42)
+    step = jax.jit(
+        lambda s, a: phys.control_step(ma, hf, params, pd, dr, dof_limits, s, a)
+    )
+    zs = []
+    for _ in range(100):
+        state, info, _ = step(state, jnp.zeros(12))
+        zs.append(float(state.base_pos[2]))
+    zs = np.asarray(zs)
+    assert np.isfinite(zs).all()
+    assert 0.24 < zs[-1] < 0.36
+    settle = zs[-25:].mean()
+    # bounded rebound: after first touching down, the base never rises more
+    # than ~3 cm above the settle height (the residual overshoot is the PD
+    # leg-spring, which the MuJoCo oracle also shows — the apples-to-apples
+    # transient check lives in test_sim_parity.py::test_full_plant_parity)
+    below = np.nonzero(zs < settle + 0.01)[0]
+    assert below.size > 0
+    assert zs[below[0]:].max() < settle + 0.03
+    # stiff contact: static penetration is mm-scale => stands tall, and
+    # velocities settle
+    assert float(jnp.linalg.norm(state.lin_vel)) < 0.05
+
+
 def test_standing_batch_soa(go2):
     """Natively batched SoA engine (trailing batch) with per-env domain rand."""
     model, ma, pd, dof_limits, dr = go2

@@ -120,6 +120,43 @@ def test_component_math_matches_xla(go2, monkeypatch):
     )
 
 
+def test_component_math_matches_xla_full_plant(go2, monkeypatch):
+    """Same parity, with the round-4 go2 plant: stiff contact, substeps=4,
+    joint damping/armature/frictionloss (go2_config.sim)."""
+    ma, pd, dof_limits = go2
+    hf = phys.plane()
+    params = phys.SimParams(
+        substeps=4,
+        contact=phys.ContactParams(
+            stiffness=40000.0, damping=250.0, friction_vel=250.0,
+            terrain_friction=1.0,
+        ),
+        dof_damping=jnp.full(12, 0.1),
+        dof_armature=jnp.full(12, 0.01),
+        dof_frictionloss=jnp.full(12, 0.2),
+    )
+    state, dr, actions = _rand_batch(jax.random.PRNGKey(3))
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = jax.jit(
+        lambda s, a, d: phys.control_step(ma, hf, params, pd, d, dof_limits, s, a)
+    )(state, actions, dr)
+
+    st, link_forces, torques = _run_components(
+        ma, params, pd, dof_limits, state, dr, actions
+    )
+
+    np.testing.assert_allclose(st["pos"], ref_state.base_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["quat"], ref_state.base_quat, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["lin"], ref_state.lin_vel, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(st["q"], ref_state.dof_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(
+        link_forces, ref_info.link_forces, atol=0.05, rtol=1e-3
+    )
+
+
 _TINY_URDF = """<robot name="tiny">
   <link name="base">
     <inertial>
