@@ -32,7 +32,11 @@ BASELINE_FPS = 100_000.0  # estimate; reference publishes no numbers
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+_EMITTED = []
+
+
 def emit(obj):
+    _EMITTED.append(obj)
     print(json.dumps(obj), flush=True)
 
 
@@ -71,7 +75,12 @@ def bench_weak_scaling(total_envs=512, iters=3, max_devices=8):
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS=f"--xla_force_host_platform_device_count={max_devices}",
+        # append to (not overwrite) inherited XLA_FLAGS: the parent may carry
+        # compile-cache / CPU-thread flags the child relies on (ADVICE r3)
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max_devices}"
+        ).strip(),
         LGC_FORCE_PLATFORM="cpu",
     )
     out = {}
@@ -166,6 +175,16 @@ def main():
         })
     except Exception as e:  # pragma: no cover
         print(f"# weak-scaling bench failed: {e}", file=sys.stderr)
+
+    # Final line = the HEADLINE metric again, carrying every other metric in
+    # "all" — the driver records the last parsed line, so the driver-visible
+    # record is always the headline with full context (VERDICT r3 weak #7).
+    if _EMITTED:
+        headline = dict(_EMITTED[0])
+        headline["all"] = {
+            m["metric"]: m["value"] for m in _EMITTED if "metric" in m
+        }
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

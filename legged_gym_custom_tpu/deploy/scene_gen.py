@@ -20,7 +20,10 @@ import os
 
 import numpy as np
 
-GO2_XML = "/root/reference/resources/robots/go2/mujoco/go2.xml"
+# Committed scenes carry this placeholder instead of an absolute checkout
+# path; mujoco_runner.load_scene expands it from $LGC_REFERENCE_DIR
+# (default /root/reference) at load time (ADVICE r3).
+GO2_XML = "{REFERENCE_DIR}/resources/robots/go2/mujoco/go2.xml"
 
 _SCENE_TEMPLATE = """<mujoco model="{name}">
   <include file="{robot_xml}"/>
@@ -90,9 +93,9 @@ def write_heightfield_scene(
     np.save(base + ".hfield.npy", data)
     xml = _SCENE_TEMPLATE.format(
         name=name,
-        robot_xml=os.path.relpath(robot_xml, os.path.dirname(os.path.abspath(out_path)))
-        if not os.path.isabs(robot_xml)
-        else robot_xml,
+        robot_xml=robot_xml
+        if (os.path.isabs(robot_xml) or robot_xml.startswith("{REFERENCE_DIR}"))
+        else os.path.relpath(robot_xml, os.path.dirname(os.path.abspath(out_path))),
         nrow=ny,
         ncol=nx,
         rx=rx,

@@ -253,6 +253,11 @@ class FusedSpec(NamedTuple):
     dof_lo: tuple
     dof_hi: tuple
     dof_vlim: tuple
+    # heightfield terrain (0 = flat plane kernel): per-env (K, K) local patch
+    # resident in VMEM, sampled once per decimation tick (engine
+    # terrain_tick_sample semantics)
+    hf_K: int = 0
+    hf_hs: float = 0.0     # horizontal scale [m/cell]
 
 
 def _t(x):
@@ -262,7 +267,8 @@ def _t(x):
     return tuple(_t(r) for r in a)
 
 
-def build_spec(ma, params, pd, dof_limits) -> FusedSpec:
+def build_spec(ma, params, pd, dof_limits, hf_K: int = 0,
+               hf_hs: float = 0.0) -> FusedSpec:
     """Concretize ModelArrays/SimParams/PDParams into a hashable spec.
 
     Raises jax.errors.TracerArrayConversionError if any leaf is traced (the
@@ -270,6 +276,8 @@ def build_spec(ma, params, pd, dof_limits) -> FusedSpec:
     """
     c = params.contact
     return FusedSpec(
+        hf_K=int(hf_K),
+        hf_hs=float(hf_hs),
         parent=tuple(int(p) for p in ma.parent),
         joint_rot=_t(ma.joint_rot),
         joint_pos=_t(ma.joint_pos),
@@ -317,13 +325,62 @@ def build_spec(ma, params, pd, dof_limits) -> FusedSpec:
 # --------------------------------------------------------------------------
 
 
-def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
+def _tile_surface(spec: FusedSpec, terrain, cx, cy):
+    """Bilinear height + normal from the per-env VMEM-resident (K, K) patch.
+
+    Mirrors physics/patch.py::surface term for term (same floor/one-hot
+    weight construction and edge clamp => exact parity with the XLA patch
+    path).  cx/cy are (TILE,) world coords; terrain holds `patch` — a
+    (K, K, TILE) ref/array — and `xoff`/`yoff`, the (TILE,) world coords of
+    patch cell (0, 0).  The i-contraction unrolls over K rows: 2K fused
+    multiply-adds on (K, TILE) vectors — pure VPU code, no gathers.
+    Returns (h, nx, ny, nz) as (TILE,) arrays.
+    """
+    K = spec.hf_K
+    f32 = jnp.float32
+    inv_hs = 1.0 / spec.hf_hs
+    shape2d = (K,) + cx.shape
+    gx = jnp.clip((cx - terrain["xoff"]) * inv_hs, 0.0, K - 1.001)
+    gy = jnp.clip((cy - terrain["yoff"]) * inv_hs, 0.0, K - 1.001)
+    iota = jax.lax.broadcasted_iota(f32, shape2d, 0)
+    x0 = jnp.floor(gx)
+    fx = gx - x0
+    y0 = jnp.floor(gy)
+    fy = gy - y0
+    ax0 = (iota == x0[None]).astype(f32)          # (K, TILE) one-hot floor
+    ax1 = (iota == (x0 + 1.0)[None]).astype(f32)
+    ay0 = (iota == y0[None]).astype(f32)
+    ay1 = (iota == (y0 + 1.0)[None]).astype(f32)
+    Wx = ax0 * (1.0 - fx)[None] + ax1 * fx[None]
+    dWx = ax1 - ax0
+    Wy = ay0 * (1.0 - fy)[None] + ay1 * fy[None]
+    dWy = ay1 - ay0
+    u = None   # u[j]  = sum_i Wx[i]  P[i, j]
+    ud = None  # ud[j] = sum_i dWx[i] P[i, j]
+    for i in range(K):
+        row = terrain["patch"][i]                  # (K, TILE)
+        wxi = Wx[i : i + 1]
+        dwxi = dWx[i : i + 1]
+        u = wxi * row if u is None else u + wxi * row
+        ud = dwxi * row if ud is None else ud + dwxi * row
+    h = jnp.sum(Wy * u, axis=0)
+    dhdx = jnp.sum(Wy * ud, axis=0) * inv_hs
+    dhdy = jnp.sum(dWy * u, axis=0) * inv_hs
+    inv_norm = 1.0 / jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+    return h, -dhdx * inv_norm, -dhdy * inv_norm, inv_norm
+
+
+def _substep_components(spec: FusedSpec, st, tau, friction, inertias,
+                        terrain=None, surface=None):
     """One semi-implicit Euler substep on component lists.
 
     st: dict with pos[3], quat[4], lin[3], ang[3] (world), q[ndof], qd[ndof].
     Mirrors engine.substep / algorithms.forward_kinematics+aba /
-    contact.compute_contacts (plane case).
-    Returns (st', link_force [n_links][3]).
+    contact.compute_contacts (plane case, or heightfield via the per-env
+    patch when spec.hf_K > 0).  `surface` is the per-geom (h, n) tuple list
+    frozen for the current decimation tick (engine terrain_tick_sample);
+    None means "sample now from this substep's kinematics".
+    Returns (st', link_force [n_links][3], surface).
     """
     nb = len(spec.parent)
     ndof = nb - 1
@@ -369,10 +426,15 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
         qd = st["qd"][i - 1]
         v[i] = [vi[k] + axis[k] * qd for k in range(3)] + vi[3:6]
 
-    # ---- plane penalty contact (contact.compute_contacts, is_plane)
+    # ---- penalty contact (contact.compute_contacts: plane case inline,
+    # heightfield via the VMEM-resident per-env patch)
     ng = len(spec.geom_body)
     body_wrench = [[0.0] * 6 for _ in range(nb)]     # world axes, body origin
     link_force = [[0.0] * 3 for _ in range(spec.n_links)]
+    sample_now = spec.hf_K > 0 and surface is None
+    if sample_now:
+        surface = [None] * ng
+    mu = 0.5 * (friction + spec.terrain_friction)
     for g in range(ng):
         b = spec.geom_body[g]
         gpos = list(spec.geom_pos[g])
@@ -385,16 +447,33 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
         vel_b = _vadd(ub_g, _cross(wb_g, gpos))
         vel_w = _mtv(Rg, vel_b)
         radius = spec.geom_radius[g]
-        depth = radius - center[2]
-        vn = vel_w[2]
-        fn = jnp.maximum(spec.stiffness * depth - spec.damping * vn, 0.0)
-        fn = jnp.where(depth > 0.0, fn, 0.0)
-        vt = [vel_w[0], vel_w[1]]
-        vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1])
-        mu = 0.5 * (friction + spec.terrain_friction)
-        ft_mag = jnp.minimum(spec.friction_vel * vt_norm, mu * fn)
-        inv_vt = ft_mag / (vt_norm + 1e-6)
-        force = [-vt[0] * inv_vt, -vt[1] * inv_vt, fn]
+        if spec.hf_K > 0:
+            if sample_now:
+                surface[g] = _tile_surface(spec, terrain, center[0], center[1])
+            h, nx, ny, nz = surface[g]
+            depth = radius - nz * (center[2] - h)
+            vn = vel_w[0] * nx + vel_w[1] * ny + vel_w[2] * nz
+            vt = [vel_w[0] - vn * nx, vel_w[1] - vn * ny, vel_w[2] - vn * nz]
+            vt_norm = jnp.sqrt(vt[0] ** 2 + vt[1] ** 2 + vt[2] ** 2)
+            fn = jnp.maximum(spec.stiffness * depth - spec.damping * vn, 0.0)
+            fn = jnp.where(depth > 0.0, fn, 0.0)
+            ft_mag = jnp.minimum(spec.friction_vel * vt_norm, mu * fn)
+            inv_vt = ft_mag / (vt_norm + 1e-6)
+            force = [
+                fn * nx - vt[0] * inv_vt,
+                fn * ny - vt[1] * inv_vt,
+                fn * nz - vt[2] * inv_vt,
+            ]
+        else:
+            depth = radius - center[2]
+            vn = vel_w[2]
+            fn = jnp.maximum(spec.stiffness * depth - spec.damping * vn, 0.0)
+            fn = jnp.where(depth > 0.0, fn, 0.0)
+            vt = [vel_w[0], vel_w[1]]
+            vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1])
+            ft_mag = jnp.minimum(spec.friction_vel * vt_norm, mu * fn)
+            inv_vt = ft_mag / (vt_norm + 1e-6)
+            force = [-vt[0] * inv_vt, -vt[1] * inv_vt, fn]
         torque = _cross(off, force)  # arm = center - body origin = R_wb @ gpos
         for k in range(3):
             body_wrench[b][k] = body_wrench[b][k] + torque[k]
@@ -530,7 +609,7 @@ def _substep_components(spec: FusedSpec, st, tau, friction, inertias):
         q_new.append(st["q"][j] + qd * dt)
 
     st2 = dict(pos=pos, quat=quat, lin=lin, ang=ang, q=q_new, qd=qd_new)
-    return st2, link_force
+    return st2, link_force, surface
 
 
 def _body_inertias_components(spec: FusedSpec, added_mass, com_offset):
@@ -556,13 +635,17 @@ def _body_inertias_components(spec: FusedSpec, added_mass, com_offset):
 
 
 def control_step_components(spec: FusedSpec, st, actions, friction,
-                            added_mass, com_offset, kp_mult, kd_mult):
+                            added_mass, com_offset, kp_mult, kd_mult,
+                            terrain=None):
     """The full control step on component lists (the kernel body's math).
 
     Shared between the Pallas kernel and tests/test_fused_step.py, which
     calls it with plain (B,) jnp arrays — same trace, no pallas — so the
     numerics are verified against the XLA engine without paying interpreter
     costs; a 1-substep interpret-mode smoke test covers the lowering.
+    `terrain` (heightfield kernel, spec.hf_K > 0): dict with `patch`
+    ((K, K, TILE) ref/array), `xoff`, `yoff` ((TILE,) world coords of patch
+    cell (0, 0)).
     Returns (st', link_force_mean [nl][3], tau [ndof]).
     """
     nl = spec.n_links
@@ -583,8 +666,11 @@ def control_step_components(spec: FusedSpec, st, actions, friction,
             ) - kd * st["qd"][j]
             tau.append(jnp.clip(t, -spec.torque_limits[j], spec.torque_limits[j]))
         lf_sum = [[0.0] * 3 for _ in range(nl)]
+        surface = None  # resampled at each 200 Hz tick (terrain_tick_sample)
         for _s in range(spec.substeps):
-            st, lf = _substep_components(spec, st, tau, friction, inertias)
+            st, lf, surface = _substep_components(
+                spec, st, tau, friction, inertias, terrain, surface
+            )
             for l in range(nl):
                 for k in range(3):
                     lf_sum[l][k] = lf_sum[l][k] + lf[l][k]
@@ -598,12 +684,23 @@ def _make_kernel(spec: FusedSpec, tile: int):
     ndof = nb - 1
     nl = spec.n_links
 
-    def kernel(
-        pos_ref, quat_ref, lin_ref, ang_ref, q_ref, qd_ref,
-        act_ref, fric_ref, am_ref, co_ref, kp_ref, kd_ref,
-        opos_ref, oquat_ref, olin_ref, oang_ref, oq_ref, oqd_ref,
-        olf_ref, otau_ref,
-    ):
+    def kernel(*refs):
+        (
+            pos_ref, quat_ref, lin_ref, ang_ref, q_ref, qd_ref,
+            act_ref, fric_ref, am_ref, co_ref, kp_ref, kd_ref,
+        ) = refs[:12]
+        terrain = None
+        n_in = 12
+        if spec.hf_K:
+            patch_ref, xoff_ref, yoff_ref = refs[12:15]
+            terrain = dict(
+                patch=patch_ref, xoff=xoff_ref[0, :], yoff=yoff_ref[0, :]
+            )
+            n_in = 15
+        (
+            opos_ref, oquat_ref, olin_ref, oang_ref, oq_ref, oqd_ref,
+            olf_ref, otau_ref,
+        ) = refs[n_in : n_in + 8]
         st = dict(
             pos=[pos_ref[i, :] for i in range(3)],
             quat=[quat_ref[i, :] for i in range(4)],
@@ -619,6 +716,7 @@ def _make_kernel(spec: FusedSpec, tile: int):
             [co_ref[i, :] for i in range(3)],
             [kp_ref[i, :] for i in range(ndof)],
             [kd_ref[i, :] for i in range(ndof)],
+            terrain=terrain,
         )
 
         ones = jnp.ones((tile,), jnp.float32)
@@ -660,6 +758,13 @@ def _build_fused(spec: FusedSpec, batch: int, tile: int, interpret: bool):
         spec_for(ndof), spec_for(1), spec_for(1), spec_for(3),
         spec_for(ndof), spec_for(ndof),
     ]
+    if spec.hf_K:
+        K = spec.hf_K
+        in_specs += [
+            pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            spec_for(1), spec_for(1),
+        ]
     out_specs = (
         spec_for(3), spec_for(4), spec_for(3), spec_for(3),
         spec_for(ndof), spec_for(ndof), spec_for(nl * 3), spec_for(ndof),
@@ -668,11 +773,18 @@ def _build_fused(spec: FusedSpec, batch: int, tile: int, interpret: bool):
         jax.ShapeDtypeStruct((c, batch), jnp.float32)
         for c in (3, 4, 3, 3, ndof, ndof, nl * 3, ndof)
     )
-    # ~flops/substep/env: FK+contact+ABA on a 13-body tree ≈ 2e4
+    # ~flops/substep/env: FK+contact+ABA on a 13-body tree ≈ 2e4; terrain
+    # sampling adds 4*K^2 per geom per tick (2K MACs on K-vectors x2)
     n_sub = spec.decimation * spec.substeps
+    ng = len(spec.geom_body)
+    terrain_flops = (
+        spec.decimation * ng * 4 * spec.hf_K * spec.hf_K if spec.hf_K else 0
+    )
+    terrain_bytes = spec.hf_K * spec.hf_K * 4 + 8 if spec.hf_K else 0
     cost = pl.CostEstimate(
-        flops=int(2.0e4) * n_sub * batch,
-        bytes_accessed=(37 + 30 + 37 + nl * 3 + ndof) * 4 * batch,
+        flops=(int(2.0e4) * n_sub + terrain_flops) * batch,
+        bytes_accessed=(37 + 30 + 37 + nl * 3 + ndof) * 4 * batch
+        + terrain_bytes * batch,
         transcendentals=(ndof * 2 + 4) * n_sub * batch,
     )
 
@@ -686,17 +798,25 @@ def _build_fused(spec: FusedSpec, batch: int, tile: int, interpret: bool):
         interpret=interpret,
     )
 
-    def fused(state_tuple, actions, dr_tuple):
+    def fused(state_tuple, actions, dr_tuple, terrain_tuple=None):
         (pos, quat, lin, ang, q, qd) = state_tuple
         (friction, added_mass, com_offset, kp_mult, kd_mult) = dr_tuple
         f32 = lambda x: jnp.asarray(x, jnp.float32)
-        outs = call(
+        ins = [
             f32(pos), f32(quat), f32(lin), f32(ang), f32(q), f32(qd),
             f32(actions),
             f32(friction).reshape(1, batch),
             f32(added_mass).reshape(1, batch),
             f32(com_offset), f32(kp_mult), f32(kd_mult),
-        )
+        ]
+        if spec.hf_K:
+            patch, xoff, yoff = terrain_tuple
+            ins += [
+                f32(patch),
+                f32(xoff).reshape(1, batch),
+                f32(yoff).reshape(1, batch),
+            ]
+        outs = call(*ins)
         (opos, oquat, olin, oang, oq, oqd, olf, otau) = outs
         return (opos, oquat, olin, oang, oq, oqd), olf.reshape(nl, 3, batch), otau
 
@@ -732,20 +852,34 @@ def _fallback(reason: str):
     return None
 
 
-def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions):
+def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions,
+                             local_patch=None):
     """Return (state', link_forces, torques) via the Pallas kernel, or None.
 
+    Flat-plane terrain runs the plane kernel; heightfield terrain runs the
+    terrain-input kernel variant when the caller supplies the per-env
+    `local_patch` (physics/patch.py LocalPatch, batch-leading (B, K, K)) —
+    the patch block rides VMEM and every contact sample is lane-parallel
+    tent-weight arithmetic (no gathers).
+
     Falls back (returns None, with a one-time warning naming the reason) when:
-    disabled via LGC_FUSED_KERNEL=0, terrain is not the flat plane, control is
-    not plain PD position control, the batch is not 1-D/128-divisible, the
-    backend is not a TPU (Mosaic would fail to compile elsewhere), or the
-    model/params are traced values.
+    disabled via LGC_FUSED_KERNEL=0, terrain is a heightfield but no patch
+    was provided, control is not plain PD position control, the batch is not
+    1-D/128-divisible, the backend is not a TPU (Mosaic would fail to compile
+    elsewhere), or the model/params are traced values.
     """
     flag = _env_flag()
     if flag in ("0", "off", "false"):
         return None  # explicit opt-out: no warning needed
+    hf_K, hf_hs = 0, 0.0
     if not getattr(hf, "is_plane", False):
-        return _fallback("terrain is a heightfield, kernel covers flat plane only")
+        if local_patch is None:
+            return _fallback(
+                "terrain is a heightfield and no per-env patch was provided "
+                "(patch_halfwidth=0 disables the terrain kernel)"
+            )
+        hf_K = int(local_patch.data.shape[-1])
+        hf_hs = float(local_patch.horizontal_scale)
     if pd.control_type != "P":
         return _fallback(f"control_type={pd.control_type!r}, kernel covers 'P' only")
     bs = state.dof_pos.shape[1:]
@@ -771,7 +905,7 @@ def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions)
     else:
         interpret = False
     try:
-        spec = build_spec(ma, params, pd, dof_limits)
+        spec = build_spec(ma, params, pd, dof_limits, hf_K=hf_K, hf_hs=hf_hs)
     except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
         return _fallback("model/DR parameters are traced (not static at trace time)")
     fused = _build_fused(spec, batch, tile, interpret)
@@ -780,4 +914,12 @@ def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions)
         state.ang_vel, state.dof_pos, state.dof_vel,
     )
     dr_tuple = (dr.friction, dr.added_mass, dr.com_offset, dr.kp_mult, dr.kd_mult)
-    return fused(state_tuple, actions, dr_tuple)
+    terrain_tuple = None
+    if hf_K:
+        # (B, K, K) -> (K, K, B); world coords of patch cell (0, 0)
+        lp = local_patch
+        patch_kkb = jnp.moveaxis(jnp.asarray(lp.data, jnp.float32), 0, -1)
+        xoff = lp.x0.astype(jnp.float32) * hf_hs - lp.border_offset
+        yoff = lp.y0.astype(jnp.float32) * hf_hs - lp.border_offset
+        terrain_tuple = (patch_kkb, xoff, yoff)
+    return fused(state_tuple, actions, dr_tuple, terrain_tuple)

@@ -40,6 +40,31 @@ class ContactOutput(NamedTuple):
     link_force: jnp.ndarray    # (n_links, 3)+bs net world force per report link
 
 
+def geom_centers(ma: ModelArrays, E0: list, p0w: list) -> jnp.ndarray:
+    """World positions of all collision-sphere centers, (ng, 3)+bs."""
+    bs = jnp.shape(p0w[0])[1:]
+    R_wb = jnp.stack([jnp.swapaxes(E0[i], 0, 1) for i in range(ma.nb)])
+    p_w = jnp.stack(p0w)
+    gpos = ma.geom_pos.reshape(ma.geom_pos.shape + (1,) * len(bs))
+    Rg = R_wb[ma.geom_body]
+    return p_w[ma.geom_body] + jnp.einsum(
+        "gij...,gj...->gi...", Rg, gpos * jnp.ones_like(p_w[ma.geom_body])
+    )
+
+
+def sample_surface(ma: ModelArrays, hf, centers: jnp.ndarray):
+    """Terrain surface (h, (nx, ny, nz)) under each collision sphere.
+
+    Used by the engine to freeze the contact surface once per decimation
+    tick (the reference plant's PhysX runs collision detection per 200 Hz
+    sim step, legged_robot.py:79-85 — not per solver substep), which also
+    cuts terrain sampling cost 'substeps'-fold.
+    """
+    if isinstance(hf, patch.LocalPatch):
+        return patch.surface_cm(hf, centers[:, 0], centers[:, 1])
+    return hfield.surface(hf, centers[:, 0], centers[:, 1])
+
+
 def compute_contacts(
     ma: ModelArrays,
     hf,  # Heightfield (global table) or patch.LocalPatch (per-env window)
@@ -48,6 +73,7 @@ def compute_contacts(
     E0: list,                  # per-body R_{body<-world}, (3,3)+bs
     p0w: list,                 # per-body world origin positions, (3,)+bs
     v_body: list,              # per-body spatial velocity (body coords), (6,)+bs
+    surface=None,              # optional precomputed (h, (nx, ny, nz)) per geom
 ) -> ContactOutput:
     dtype = ma.geom_pos.dtype
     bs = jnp.shape(p0w[0])[1:]
@@ -65,7 +91,9 @@ def compute_contacts(
     )
     vel_w = jnp.einsum("gij...,gj...->gi...", Rg, vel_b)   # (ng,3)+bs
 
-    if isinstance(hf, patch.LocalPatch):
+    if surface is not None:
+        h, n = surface
+    elif isinstance(hf, patch.LocalPatch):
         # per-env patch: samples are matmuls against the resident window
         # instead of global-table gathers (physics/patch.py)
         h, n = patch.surface_cm(hf, centers[:, 0], centers[:, 1])

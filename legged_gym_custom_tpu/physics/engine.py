@@ -63,6 +63,13 @@ class SimParams(NamedTuple):
     dof_armature: jnp.ndarray | None = None      # reflected rotor inertia
     dof_frictionloss: jnp.ndarray | None = None  # Coulomb: -fl * tanh(qd/eps)
     frictionloss_vel_eps: float = 0.1  # [rad/s] tanh smoothing of sign(qd)
+    # Sample the terrain surface under each collision sphere once per
+    # decimation tick (200 Hz) and hold it through the integrator substeps —
+    # the reference plant's collision-detection cadence (PhysX collides per
+    # sim step, legged_robot.py:79-85, not per solver iteration).  Cuts
+    # terrain sampling cost `substeps`-fold on heightfields; no effect on
+    # the flat plane (its surface is constant).
+    terrain_tick_sample: bool = True
 
 
 class DomainRandParams(NamedTuple):
@@ -139,6 +146,7 @@ def substep(
     tau: jnp.ndarray,
     dt: float,
     inertias=None,
+    surface=None,
 ):
     """One semi-implicit Euler integration substep. Returns (state', contacts)."""
     bs = state.dof_pos.shape[1:]
@@ -147,7 +155,7 @@ def substep(
         ma, state.base_quat, state.base_pos, state.dof_pos, v_base, state.dof_vel
     )
     contacts = compute_contacts(
-        ma, hf, params.contact, dr.friction, E0, p0w, v_body
+        ma, hf, params.contact, dr.friction, E0, p0w, v_body, surface=surface
     )
     tau_total = tau + _joint_limit_torque(
         params, dof_limits[0], dof_limits[1], state.dof_pos, state.dof_vel
@@ -237,18 +245,37 @@ def control_step(
     overrides the PD law for stateful actuator models (the ANYmal SEA LSTM,
     reference anymal.py:71-80); default is the PD controller.
 
-    On TPU with flat-plane terrain and plain PD control, the whole
-    decimation x substeps loop runs as one fused Pallas kernel
-    (ops/fused_step.py) — state stays in VMEM across all substeps instead of
-    round-tripping HBM between XLA fusions.  Other configurations (heightfield
-    terrain, actuator networks, unbatched robots) take the XLA path below;
-    parity between the two is asserted in tests/test_fused_step.py.
+    On TPU with plain PD control, the whole decimation x substeps loop runs
+    as one fused Pallas kernel (ops/fused_step.py) — state stays in VMEM
+    across all substeps instead of round-tripping HBM between XLA fusions;
+    on heightfield terrain the kernel additionally takes the per-env local
+    terrain patch (physics/patch.py) as a VMEM-resident input.  Other
+    configurations (actuator networks, unbatched robots, non-TPU backends)
+    take the XLA path below; parity between the two is asserted in
+    tests/test_fused_step.py.
     """
+    bs = state.dof_pos.shape[1:]
+
+    # Heightfield terrain + batched envs: swap the global table for per-env
+    # local windows extracted once here, so every contact query in the
+    # decimation x substeps loop is a patch matmul instead of a global gather
+    # (physics/patch.py; ~4.5x faster rough-terrain step on TPU).  The same
+    # patch is the terrain kernel's VMEM input.
+    terrain = hf
+    local_patch = None
+    if (not hf.is_plane) and len(bs) == 1 and params.patch_halfwidth > 0:
+        from . import patch as _patch
+
+        K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
+        local_patch = _patch.extract(hf, state.base_pos[0], state.base_pos[1], K)
+        terrain = local_patch
+
     if torque_fn is None:
         from ..ops import fused_step as _fused
 
         fused = _fused.maybe_fused_control_step(
-            ma, hf, params, pd, dr, dof_limits, state, actions
+            ma, hf, params, pd, dr, dof_limits, state, actions,
+            local_patch=local_patch,
         )
         if fused is not None:
             (pos, quat, lin, ang, q, qd), link_forces, torques = fused
@@ -257,20 +284,10 @@ def control_step(
             return st, StepInfo(link_forces, lpos, lvel, torques), actuator_state
 
     dt_sub = params.dt / params.substeps
-    bs = state.dof_pos.shape[1:]
     tlim = soa.bcast(pd.torque_limits, bs)
     inertias = body_inertias(ma, dr.added_mass, dr.com_offset)
 
-    # Heightfield terrain + batched envs: swap the global table for per-env
-    # local windows extracted once here, so every contact query in the
-    # decimation x substeps loop is a patch matmul instead of a global gather
-    # (physics/patch.py; ~4.5x faster rough-terrain step on TPU).
-    terrain = hf
-    if (not hf.is_plane) and len(bs) == 1 and params.patch_halfwidth > 0:
-        from . import patch as _patch
-
-        K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
-        terrain = _patch.extract(hf, state.base_pos[0], state.base_pos[1], K)
+    tick_sample = params.terrain_tick_sample and not getattr(hf, "is_plane", False)
 
     def decim_body(carry, _):
         st, act_state, _info = carry
@@ -282,9 +299,21 @@ def control_step(
                 pd, actions, st.dof_pos, st.dof_vel, dr.kp_mult, dr.kd_mult
             )
 
+        surface = None
+        if tick_sample:
+            # freeze the contact surface for this 200 Hz tick (see SimParams)
+            from .contact import geom_centers, sample_surface
+
+            v_base = _spatial_vbase(st)
+            _, _, E0, p0w, _ = forward_kinematics(
+                ma, st.base_quat, st.base_pos, st.dof_pos, v_base, st.dof_vel
+            )
+            surface = sample_surface(ma, terrain, geom_centers(ma, E0, p0w))
+
         def sub_body(st2, _):
             st3, contacts = substep(
-                ma, terrain, params, dr, dof_limits, st2, tau, dt_sub, inertias
+                ma, terrain, params, dr, dof_limits, st2, tau, dt_sub, inertias,
+                surface=surface,
             )
             return st3, contacts.link_force
 

@@ -1,16 +1,16 @@
 """Package the parkour training runs into the committed `trained/` artifact.
 
-Collects, into trained/go2_parkour_tpu_r3/:
+Writes, into --out:
   reward_curve.json   TB scalars merged across the base run(s) and the jump
                       finetune run on a single global-iteration axis
-  model_final.ckpt    the latest finetune checkpoint (orbax dir, copied)
-  policy_bundle.npz   deploy bundle exported from that checkpoint
-  parkour_scene.xml   MuJoCo scene of the deploy course (+ .hfield.npy)
-  SCAN_r3.txt         jump-synced scandot replay trace captured from the
-                      policy on that same course (when the jump flag fires)
+  model_final.ckpt    the blessed checkpoint (orbax dir, copied)
+
+The remaining artifact pieces (policy_bundle.npz via scripts/play.py export,
+parkour_scene.xml/.hfield.npy via deploy/scene_gen.py, SCAN trace via
+play.py --record_scan) are produced by their own tools and placed alongside.
 
 Usage: python -m legged_gym_custom_tpu.scripts.package_parkour \
-           --runs run1:0 run2:1350 ft:3550 [--deploy_gap 0.15]
+           --runs run1:0 run2:1350 ft:3550 --ckpt <orbax dir>
 where each --runs entry is <logdir>:<global iteration offset>.
 """
 from __future__ import annotations
@@ -53,10 +53,16 @@ def main():
         runs.append((d, int(off)))
 
     curves = merge_curves(runs)
+    mean_rew = curves.get("Train/mean_reward")
+    if not mean_rew:
+        raise SystemExit(
+            "Train/mean_reward not found in the given runs; extracted tags: "
+            + ", ".join(sorted(curves)) if curves else "none"
+        )
     with open(os.path.join(args.out, "reward_curve.json"), "w") as f:
         json.dump(curves, f)
     print(f"reward_curve.json: {len(curves)} tags, "
-          f"final mean_reward={curves['Train/mean_reward'][-1]}")
+          f"final mean_reward={mean_rew[-1]}")
 
     dst = os.path.join(args.out, "model_final.ckpt")
     if os.path.exists(dst):

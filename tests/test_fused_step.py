@@ -69,9 +69,23 @@ def _rand_batch(key):
     return state, dr, actions
 
 
-def _run_components(ma, params, pd, dof_limits, state, dr, actions):
+def _run_components(ma, params, pd, dof_limits, state, dr, actions,
+                    local_patch=None):
     """Drive the kernel's shared component math with plain jnp arrays."""
-    spec = fused_step.build_spec(ma, params, pd, dof_limits)
+    terrain = None
+    hf_K, hf_hs = 0, 0.0
+    if local_patch is not None:
+        hf_K = int(local_patch.data.shape[-1])
+        hf_hs = float(local_patch.horizontal_scale)
+        terrain = dict(
+            patch=jnp.moveaxis(jnp.asarray(local_patch.data, jnp.float32), 0, -1),
+            xoff=local_patch.x0.astype(jnp.float32) * hf_hs
+            - local_patch.border_offset,
+            yoff=local_patch.y0.astype(jnp.float32) * hf_hs
+            - local_patch.border_offset,
+        )
+    spec = fused_step.build_spec(ma, params, pd, dof_limits, hf_K=hf_K,
+                                 hf_hs=hf_hs)
     ndof = len(spec.parent) - 1
     st = dict(
         pos=[state.base_pos[i] for i in range(3)],
@@ -88,6 +102,7 @@ def _run_components(ma, params, pd, dof_limits, state, dr, actions):
         [dr.com_offset[i] for i in range(3)],
         [dr.kp_mult[i] for i in range(ndof)],
         [dr.kd_mult[i] for i in range(ndof)],
+        terrain=terrain,
     )
     return st, np.asarray(lf), np.stack(tau)
 
@@ -114,6 +129,64 @@ def test_component_math_matches_xla(go2, monkeypatch):
     np.testing.assert_allclose(st["ang"], ref_state.ang_vel, atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(st["q"], ref_state.dof_pos, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(
+        link_forces, ref_info.link_forces, atol=0.05, rtol=1e-3
+    )
+
+
+def test_component_math_matches_xla_heightfield(go2, monkeypatch):
+    """Terrain-kernel math vs the XLA patch path on a bumpy heightfield.
+
+    Both sides tick-sample the surface (SimParams.terrain_tick_sample), so
+    the only difference is the sampling arithmetic — the kernel's unrolled
+    tent-weight contraction vs the XLA path's two-hot einsum; they must
+    agree to float tolerance.
+    """
+    ma, pd, dof_limits = go2
+    rng = np.random.default_rng(11)
+    raw = (rng.normal(size=(64, 64)) * 8).astype(np.int16)  # +-4 cm bumps
+    hf = phys.from_raw(raw, 0.1, 0.005, 1.0)
+    params = phys.SimParams(
+        substeps=4,
+        contact=phys.ContactParams(
+            stiffness=40000.0, damping=250.0, friction_vel=250.0,
+            terrain_friction=1.0,
+        ),
+        dof_damping=jnp.full(12, 0.1),
+        dof_armature=jnp.full(12, 0.01),
+        dof_frictionloss=jnp.full(12, 0.2),
+    )
+    state, dr, actions = _rand_batch(jax.random.PRNGKey(5))
+    # keep all envs near the table center so patches stay interior
+    state = state._replace(
+        base_pos=jnp.concatenate(
+            [
+                jax.random.uniform(jax.random.PRNGKey(6), (2, B), minval=1.0,
+                                   maxval=3.0),
+                state.base_pos[2:3] + 0.05,
+            ]
+        )
+    )
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = jax.jit(
+        lambda s, a, d: phys.control_step(ma, hf, params, pd, d, dof_limits, s, a)
+    )(state, actions, dr)
+
+    from legged_gym_custom_tpu.physics import patch as patch_lib
+
+    K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
+    lp = patch_lib.extract(hf, state.base_pos[0], state.base_pos[1], K)
+    st, link_forces, torques = _run_components(
+        ma, params, pd, dof_limits, state, dr, actions, local_patch=lp
+    )
+
+    np.testing.assert_allclose(st["pos"], ref_state.base_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["quat"], ref_state.base_quat, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["lin"], ref_state.lin_vel, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(st["q"], ref_state.dof_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=2e-2, rtol=1e-3)
     np.testing.assert_allclose(torques, ref_info.torques, atol=1e-2, rtol=1e-3)
     np.testing.assert_allclose(
         link_forces, ref_info.link_forces, atol=0.05, rtol=1e-3
@@ -250,6 +323,79 @@ def test_pallas_lowering_smoke(tmp_path, monkeypatch):
         ma, hf, params, pd, dr, dof_limits, state, actions
     )
     assert out is not None, "kernel unexpectedly unavailable"
+    (pos, quat_o, lin, ang, q, qd), link_forces, torques = out
+    np.testing.assert_allclose(pos, ref_state.base_pos, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(quat_o, ref_state.base_quat, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(qd, ref_state.dof_vel, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(
+        link_forces, ref_info.link_forces, atol=0.01, rtol=1e-3
+    )
+
+
+def test_pallas_terrain_lowering_smoke(tmp_path, monkeypatch):
+    """The terrain-kernel pallas_call in interpreter mode on the 2-body
+    hopper: covers the 3-D patch BlockSpec, in-kernel iota weight
+    construction, and row-sliced patch contraction."""
+    urdf = tmp_path / "tiny.urdf"
+    urdf.write_text(_TINY_URDF)
+    model = phys.load_urdf(str(urdf), "tiny")
+    ma = phys.model_arrays(model)
+    ndof = 1
+    pd = phys.PDParams(
+        p_gains=jnp.full(ndof, 20.0),
+        d_gains=jnp.full(ndof, 0.5),
+        default_dof_pos=jnp.zeros(ndof),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
+    rng = np.random.default_rng(3)
+    raw = (rng.normal(size=(48, 48)) * 6).astype(np.int16)
+    hf = phys.from_raw(raw, 0.1, 0.005, 1.0)
+    params = phys.SimParams(decimation=2, substeps=1, patch_halfwidth=0.6)
+
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 6)
+    quat = jax.random.normal(ks[0], (4, B)) * 0.05 + jnp.array([1.0, 0, 0, 0])[:, None]
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    state = phys.PhysicsState(
+        base_pos=jnp.concatenate(
+            [
+                jax.random.uniform(ks[1], (2, B), minval=1.0, maxval=2.5),
+                jax.random.uniform(ks[1], (1, B), minval=0.2, maxval=0.3),
+            ]
+        ),
+        base_quat=quat,
+        lin_vel=jax.random.normal(ks[2], (3, B)) * 0.2,
+        ang_vel=jax.random.normal(ks[3], (3, B)) * 0.2,
+        dof_pos=jax.random.normal(ks[4], (ndof, B)) * 0.3,
+        dof_vel=jax.random.normal(ks[5], (ndof, B)) * 1.0,
+    )
+    dr = phys.DomainRandParams(
+        friction=jnp.ones(B), added_mass=jnp.zeros(B), com_offset=jnp.zeros((3, B)),
+        kp_mult=jnp.ones((ndof, B)), kd_mult=jnp.ones((ndof, B)),
+    )
+    actions = jax.random.normal(jax.random.fold_in(key, 9), (ndof, B))
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = phys.control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions
+    )
+
+    from legged_gym_custom_tpu.physics import patch as patch_lib
+
+    K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
+    lp = patch_lib.extract(hf, state.base_pos[0], state.base_pos[1], K)
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "interpret")
+    out = fused_step.maybe_fused_control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions, local_patch=lp
+    )
+    assert out is not None, "terrain kernel unexpectedly unavailable"
     (pos, quat_o, lin, ang, q, qd), link_forces, torques = out
     np.testing.assert_allclose(pos, ref_state.base_pos, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(quat_o, ref_state.base_quat, atol=1e-5, rtol=1e-5)

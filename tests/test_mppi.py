@@ -107,3 +107,74 @@ def test_mpc_drives_standing_robot(env_state):
         max_tilt = max(max_tilt, tilt)
     assert min_z > 0.15, f"robot collapsed: min base z {min_z:.3f}"
     assert max_tilt < 0.15, f"robot tipped: max tilt {max_tilt:.3f}"
+
+
+def test_mpc_terrain_aware_on_gap_course(env_state):
+    """MPPI on terrain (VERDICT r3 #6): the solver sees the heightfield
+    through its stage costs — rollouts that load a foot over a deep gap or
+    collide with a hurdle cost more, so plans route mass onto support.
+
+    Checked two ways on a course with a deep pit band ahead of the robot:
+      (a) the terrain-aware solve assigns higher cost to a start state
+          standing at the pit edge than on safe ground (gap cost active);
+      (b) driving the robot for 1 s toward the pit, the planner keeps it
+          upright and does not walk it blindly into the hole (base never
+          drops below the pit-fall threshold).
+    """
+    env, state = env_state
+    import numpy as np
+    import legged_gym_custom_tpu.physics as phys_mod
+
+    # 6 m x 4 m course: flat, with a pit band (depth 1 m) across x=[2.0, 2.6]
+    hs, vs = 0.1, 0.005
+    raw = np.zeros((60, 40), np.int16)
+    raw[20:26, :] = int(-1.0 / vs)
+    hf = phys_mod.from_raw(raw, hs, vs, border_size=0.0)
+    env_gap = type(env).__new__(type(env))
+    env_gap.__dict__.update(env.__dict__)   # shallow copy of statics
+    env_gap.hf = hf
+
+    B = 2
+    def standing_at(x):
+        return phys_mod.PhysicsState(
+            base_pos=jnp.tile(jnp.array([x, 2.0, 0.32]), (B, 1)),
+            base_quat=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (B, 1)),
+            lin_vel=jnp.zeros((B, 3)), ang_vel=jnp.zeros((B, 3)),
+            dof_pos=jnp.tile(env.default_dof_pos, (B, 1)),
+            dof_vel=jnp.zeros((B, 12)))
+
+    cfg = MPPIConfig(horizon=6, num_samples=16, noise_sigma=0.25)
+    mpc = MPPI(env_gap, cfg)
+    solve = jax.jit(mpc.solve)
+    commands = jnp.tile(jnp.array([0.8, 0.0, 0.0, 0.0]), (B, 1))
+    key = jax.random.PRNGKey(7)
+
+    # (a) the expected cost at the pit edge exceeds the safe-ground cost
+    _, _, cost_safe = solve(
+        mpc.init_state(B), standing_at(0.6), state.dr, commands, key)
+    _, _, cost_edge = solve(
+        mpc.init_state(B), standing_at(1.9), state.dr, commands, key)
+    assert float(jnp.mean(cost_edge)) > float(jnp.mean(cost_safe)), (
+        float(jnp.mean(cost_edge)), float(jnp.mean(cost_safe)))
+
+    # (b) closed loop toward the pit: upright, and never fallen into it
+    def control_step(ph, actions):
+        to_soa = lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), t)
+        from_soa = lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), t)
+        st, info, _ = phys_mod.control_step(
+            env.ma, hf, env.sim_params, env.pd, to_soa(state.dr),
+            env.dof_limits, to_soa(ph), jnp.moveaxis(actions, 0, -1))
+        return from_soa(st)
+
+    step = jax.jit(control_step)
+    ph = standing_at(1.2)
+    ms = mpc.init_state(B)
+    min_z, max_x = 1.0, 0.0
+    for i in range(50):
+        key, k = jax.random.split(key)
+        actions, ms, cost = solve(ms, ph, state.dr, commands, k)
+        ph = step(ph, actions)
+        min_z = min(min_z, float(jnp.min(ph.base_pos[:, 2])))
+        max_x = max(max_x, float(jnp.max(ph.base_pos[:, 0])))
+    assert min_z > -0.3, f"walked into the pit: min base z {min_z:.3f}"
+    assert max_x > 1.3, f"no forward progress at all: max x {max_x:.3f}"
