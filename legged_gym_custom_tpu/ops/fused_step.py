@@ -342,7 +342,8 @@ def _tile_surface(spec: FusedSpec, terrain, cx, cy):
     shape2d = (K,) + cx.shape
     gx = jnp.clip((cx - terrain["xoff"]) * inv_hs, 0.0, K - 1.001)
     gy = jnp.clip((cy - terrain["yoff"]) * inv_hs, 0.0, K - 1.001)
-    iota = jax.lax.broadcasted_iota(f32, shape2d, 0)
+    # Mosaic's tpu.iota is integer-only; build int32 and cast
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0).astype(f32)
     x0 = jnp.floor(gx)
     fx = gx - x0
     y0 = jnp.floor(gy)
@@ -827,8 +828,12 @@ def _env_flag():
     return os.environ.get("LGC_FUSED_KERNEL", "auto").lower()
 
 
-def pick_tile(batch: int) -> int | None:
-    for t in (1024, 512, 256, 128):
+def pick_tile(batch: int, hf_K: int = 0) -> int | None:
+    # With a (K, K, TILE) terrain patch resident per grid program, large
+    # tiles overflow the ~16 MB scoped VMEM (patch + unrolled intermediates);
+    # 256 lanes keeps the terrain kernel comfortably inside.
+    tiles = (256, 128) if hf_K else (1024, 512, 256, 128)
+    for t in tiles:
         if batch % t == 0:
             return t
     return None
@@ -886,7 +891,7 @@ def maybe_fused_control_step(ma, hf, params, pd, dr, dof_limits, state, actions,
     if len(bs) != 1:
         return _fallback(f"env batch must be 1-D, got shape {bs}")
     batch = bs[0]
-    tile = pick_tile(batch)
+    tile = pick_tile(batch, hf_K)
     if tile is None:
         return _fallback(
             f"batch {batch} not divisible by 128 (pick a multiple of 128 "

@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--task", default="go2")
     p.add_argument("--num_envs", type=int, default=64, help="GLOBAL env count")
     p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--warmup", type=int, default=0,
+                   help="untimed iterations first (compile excluded from fps)")
     p.add_argument("--ckpt_dir", default=None,
                    help="shared dir: save a collective checkpoint, reload it, "
                         "and verify the restored iteration counter")
@@ -73,6 +75,8 @@ def main(argv=None):
     mesh = multihost.global_mesh()
     runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh)
 
+    if args.warmup:
+        runner.learn(args.warmup)
     t0 = time.time()
     metrics = runner.learn(args.iterations)
     dt = time.time() - t0
