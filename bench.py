@@ -144,8 +144,21 @@ def main():
         emit({
             "metric": "go2_mpc_single_robot_p99_ms",
             "value": lat["p99_latency_ms"],
-            "unit": f"ms p99 solve latency (B={8 if on_accel else 2}, K={K}, H=10)",
+            "unit": f"ms p99 WALL solve latency (B={8 if on_accel else 2}, K={K}, H=10)",
             "vs_baseline": round(20.0 / max(lat["p99_latency_ms"], 1e-6), 4),
+            "baseline_note": "north-star budget 20 ms (50 Hz); on this host "
+                             "the chip is TUNNELED — a trivial x+1 dispatch "
+                             f"costs {lat.get('trivial_dispatch_rtt_ms', '?')} ms "
+                             "wall, so wall latency measures the tunnel floor, "
+                             "not the solver (see the device metric next)",
+        })
+        emit({
+            "metric": "go2_mpc_single_robot_device_solve_ms",
+            "value": lat["device_solve_ms"],
+            "unit": "ms per-solve DEVICE time (50-solve chain amortized in "
+                    "one dispatch) — the latency a locally-attached deploy "
+                    "chip would see",
+            "vs_baseline": round(20.0 / max(lat["device_solve_ms"], 1e-6), 4),
             "baseline_note": "north-star budget 20 ms (50 Hz)",
         })
     except Exception as e:  # pragma: no cover
