@@ -196,12 +196,12 @@ def main():
     try:
         from legged_gym_custom_tpu.scripts.bench_multiprocess import run_bench as mp_bench
 
-        mp = mp_bench(procs=2, total_envs=64, iters=3, warmup=1)
+        mp = mp_bench(procs=2, total_envs=256, iters=2, warmup=1)
         emit({
             "metric": "dcn_multiprocess_scaling_efficiency_2proc",
             "value": mp["efficiency"],
-            "unit": "fps(64 envs, 2 jax.distributed procs x 1 pinned core) / "
-                    "(2 x fps(64 envs, 1 proc x 1 pinned core)); gloo "
+            "unit": "fps(256 envs, 2 jax.distributed procs x 1 pinned core) / "
+                    "(2 x fps(256 envs, 1 proc x 1 pinned core)); gloo "
                     "cross-process collectives",
             "vs_baseline": round(mp["efficiency"] / 0.80, 4),
             "baseline_note": "north-star target >=0.80 at >=2 hosts; this is "
