@@ -10,12 +10,17 @@ from .go2_parkour_config import (
     Go2ParkourCfgPPO,
     Go2ParkourFinetuneCfg,
     Go2ParkourFinetuneCfgPPO,
+    Go2ParkourFinetune2Cfg,
+    Go2ParkourFinetune2CfgPPO,
 )
 
 task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
 task_registry.register("go2_parkour", Go2Env, Go2ParkourCfg, Go2ParkourCfgPPO)
 task_registry.register(
     "go2_parkour_finetune", Go2Env, Go2ParkourFinetuneCfg, Go2ParkourFinetuneCfgPPO
+)
+task_registry.register(
+    "go2_parkour_finetune2", Go2Env, Go2ParkourFinetune2Cfg, Go2ParkourFinetune2CfgPPO
 )
 
 

@@ -184,3 +184,21 @@ class Go2ParkourFinetuneCfgPPO(Go2ParkourCfgPPO):
         # (reference go2_parkour_finetune_config.py:57-60)
         experiment_name = "go2_parkour"
         resume = True  # flips ROA schedule to flat 0.1 (reference ppo.py:42-43)
+
+
+class Go2ParkourFinetune2Cfg(Go2ParkourFinetuneCfg):
+    """Consolidation finetune — the analog of the reference's REPEATED
+    finetune stages (its shipped networks are parkour_v12_ft_i ... ft_iii,
+    i.e. finetunes of finetunes).  Same jump course; the entropy bonus is
+    dropped to zero so the policy std decays and the deterministic MEAN
+    absorbs the jumping behavior the stochastic rollouts discovered (after
+    stage one the exploration policy clears composites the mean still balks
+    at)."""
+
+
+class Go2ParkourFinetune2CfgPPO(Go2ParkourFinetuneCfgPPO):
+    class algorithm(Go2ParkourFinetuneCfgPPO.algorithm):
+        entropy_coef = 0.0
+
+    class runner(Go2ParkourFinetuneCfgPPO.runner):
+        run_name = "parkour_consolidate"

@@ -496,7 +496,13 @@ class OnPolicyRunner:
 
     def get_inference_policy(self, stochastic: bool = False):
         """Deterministic (or sampling) policy fn over the 5 obs streams
-        (reference on_policy_runner.py:299-309)."""
+        (reference on_policy_runner.py:299-309).
+
+        stochastic=True returns a fn with an extra `key` argument that
+        samples from the Gaussian policy (mean + std * N(0,1)) — the
+        rollout-time behavior, useful for evaluating the exploration policy
+        rather than its mean.
+        """
         nets = self.nets
         params = self.train_state.params
 
@@ -508,4 +514,13 @@ class OnPolicyRunner:
                 adaptation_mode,
             )
 
-        return act_inference
+        if not stochastic:
+            return act_inference
+
+        @functools.partial(jax.jit, static_argnames=("adaptation_mode",))
+        def act_sample(obs5, key, adaptation_mode: bool = True):
+            mean = act_inference(obs5, adaptation_mode)
+            std = params["std"]
+            return mean + std * jax.random.normal(key, mean.shape)
+
+        return act_sample
