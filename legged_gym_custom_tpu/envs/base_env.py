@@ -239,6 +239,7 @@ class LeggedEnv:
             thigh_joint_ids=self.thigh_joint_ids,
             calf_joint_ids=self.calf_joint_ids,
             heading_command=cfg.commands.heading_command,
+            jump_zone_fwd_gate=getattr(r, "jump_zone_fwd_gate", 0.0),
         )
 
         self.obs_scales = cfg.normalization.obs_scales

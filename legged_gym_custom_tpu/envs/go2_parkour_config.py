@@ -189,11 +189,18 @@ class Go2ParkourFinetuneCfgPPO(Go2ParkourCfgPPO):
 class Go2ParkourFinetune2Cfg(Go2ParkourFinetuneCfg):
     """Consolidation finetune — the analog of the reference's REPEATED
     finetune stages (its shipped networks are parkour_v12_ft_i ... ft_iii,
-    i.e. finetunes of finetunes).  Same jump course; the entropy bonus is
-    dropped to zero so the policy std decays and the deterministic MEAN
-    absorbs the jumping behavior the stochastic rollouts discovered (after
-    stage one the exploration policy clears composites the mean still balks
-    at)."""
+    i.e. finetunes of finetunes).  Same jump course, two changes:
+
+    * jump-zone rewards gate on ACTUAL forward velocity (>0.3 m/s), not just
+      the command mask — implementing the reference's stated intent ("reward
+      only when the robot is moving", go2.py:771) and removing the
+      stationary edge-bobbing exploit that creates the balk local optimum.
+    * the entropy bonus drops to zero so the policy std decays and the
+      deterministic mean consolidates onto the jumping behavior.
+    """
+
+    class rewards(Go2ParkourFinetuneCfg.rewards):
+        jump_zone_fwd_gate = 0.3
 
 
 class Go2ParkourFinetune2CfgPPO(Go2ParkourFinetuneCfgPPO):

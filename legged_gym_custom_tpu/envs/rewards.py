@@ -40,6 +40,14 @@ class RewardStatics(NamedTuple):
     thigh_joint_ids: np.ndarray
     calf_joint_ids: np.ndarray
     heading_command: bool
+    # Gate the jump-zone rewards on ACTUAL forward velocity (m/s; 0 = off =
+    # reference behavior).  The reference's jump terms document "reward only
+    # when the robot is moving" but implement the mask on the COMMAND
+    # (go2.py:778,791) — a stationary robot bobbing at a gap edge farms
+    # jump_zone_upward_vel risk-free, which is exactly the balk local
+    # optimum its own comments complain about.  Gating on the measured
+    # forward velocity implements the stated intent and removes the exploit.
+    jump_zone_fwd_gate: float = 0.0
 
 
 class RewardCtx(NamedTuple):
@@ -284,18 +292,27 @@ def _reward_reverse_penalty(ctx, s):
     return -jnp.clip(ctx.world_lin_vel[:, 0], max=0.0)
 
 
+def _jump_motion_gate(ctx, s):
+    """Command mask (reference go2.py:778,791) + optional actual-motion gate
+    (RewardStatics.jump_zone_fwd_gate; see its docstring)."""
+    moving = (jnp.linalg.norm(ctx.commands[:, :3], axis=1) >= 0.2).astype(jnp.float32)
+    if s.jump_zone_fwd_gate > 0.0:
+        moving = moving * (
+            ctx.world_lin_vel[:, 0] > s.jump_zone_fwd_gate
+        ).astype(jnp.float32)
+    return moving
+
+
 def _reward_jump_zone_forward_vel(ctx, s):
     fwd = jnp.clip(ctx.world_lin_vel[:, 0], min=0.0)
     jump = (ctx.jump_flags > 0.0).astype(jnp.float32)
-    moving = (jnp.linalg.norm(ctx.commands[:, :3], axis=1) >= 0.2).astype(jnp.float32)
-    return fwd * jump * moving
+    return fwd * jump * _jump_motion_gate(ctx, s)
 
 
 def _reward_jump_zone_upward_vel(ctx, s):
     up = jnp.clip(ctx.world_lin_vel[:, 2], min=0.0)
     jump = (ctx.jump_flags > 0.0).astype(jnp.float32)
-    moving = (jnp.linalg.norm(ctx.commands[:, :3], axis=1) >= 0.2).astype(jnp.float32)
-    return up * jump * moving
+    return up * jump * _jump_motion_gate(ctx, s)
 
 
 def _reward_min_height(ctx, s):
