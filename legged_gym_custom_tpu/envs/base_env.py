@@ -483,9 +483,18 @@ class LeggedEnv:
     # ------------------------------------------------------------------
     def _sample_reset_physics(self, state: EnvState, key, origins):
         """New dof/root states for (potentially) resetting envs
-        (legged_robot.py:481-532)."""
+        (legged_robot.py:481-532).
+
+        Optional spawn curriculum (off by default; used by the parkour
+        consolidation stage): `init_state.rand_x_offsets` scatters spawns
+        across course segments (one entry per flat segment start) with
+        `rand_x_jitter` uniform slack, and `rand_vx_range` gives robots an
+        initial forward velocity — so episodes begin in motion near the
+        obstacles instead of rediscovering the approach from the start
+        platform every time.
+        """
         B = self.num_envs
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         dof_pos = self.default_dof_pos + jax.random.uniform(
             k1, (B, self.model.num_dof), minval=0.0, maxval=0.9
         )
@@ -494,12 +503,28 @@ class LeggedEnv:
         if self.custom_origins:
             xy = jax.random.uniform(k2, (B, 2), minval=-1.0, maxval=1.0)
             pos = pos.at[:, :2].add(xy)
+        init = self.cfg.init_state
+        x_offsets = getattr(init, "rand_x_offsets", None)
+        if x_offsets:
+            seg = jax.random.choice(
+                k4, jnp.asarray(x_offsets, jnp.float32), (B,)
+            )
+            jit_lo, jit_hi = getattr(init, "rand_x_jitter", (0.0, 0.0))
+            seg = seg + jax.random.uniform(k5, (B,), minval=jit_lo, maxval=jit_hi)
+            pos = pos.at[:, 0].add(seg)
         vel6 = jax.random.uniform(k3, (B, 6), minval=-0.5, maxval=0.5)
+        lin_vel = vel6[:, 0:3]
+        vx_range = getattr(init, "rand_vx_range", None)
+        if vx_range is not None:
+            vx0 = jax.random.uniform(
+                k6, (B,), minval=vx_range[0], maxval=vx_range[1]
+            )
+            lin_vel = lin_vel.at[:, 0].set(vx0)
         quat = jnp.broadcast_to(self.base_init["quat"], (B, 4))
         return PhysicsState(
             base_pos=pos,
             base_quat=quat,
-            lin_vel=vel6[:, 0:3],
+            lin_vel=lin_vel,
             ang_vel=vel6[:, 3:6],
             dof_pos=dof_pos,
             dof_vel=dof_vel,
