@@ -12,6 +12,8 @@ from .go2_parkour_config import (
     Go2ParkourFinetuneCfgPPO,
     Go2ParkourFinetune2Cfg,
     Go2ParkourFinetune2CfgPPO,
+    Go2ParkourBootcampCfg,
+    Go2ParkourBootcampCfgPPO,
 )
 
 task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
@@ -21,6 +23,9 @@ task_registry.register(
 )
 task_registry.register(
     "go2_parkour_finetune2", Go2Env, Go2ParkourFinetune2Cfg, Go2ParkourFinetune2CfgPPO
+)
+task_registry.register(
+    "go2_parkour_bootcamp", Go2Env, Go2ParkourBootcampCfg, Go2ParkourBootcampCfgPPO
 )
 
 

@@ -209,3 +209,26 @@ class Go2ParkourFinetune2CfgPPO(Go2ParkourFinetuneCfgPPO):
 
     class runner(Go2ParkourFinetuneCfgPPO.runner):
         run_name = "parkour_consolidate"
+
+
+class Go2ParkourBootcampCfg(Go2ParkourFinetune2Cfg):
+    """Jump bootcamp: the spawn curriculum concentrates experience at the
+    obstacles — robots start scattered across the course's flat segments
+    (one offset per segment, composites at x = 6 + 4k) with an initial
+    forward velocity, so every episode confronts a composite within ~2 m of
+    spawn while already in motion.  Combined with the motion-gated jump
+    rewards this makes edge-balking both unprofitable and kinematically
+    awkward (momentum carries the robot into the zone)."""
+
+    class init_state(Go2ParkourFinetune2Cfg.init_state):
+        rand_x_offsets = [0.0, 4.0, 8.0, 12.0, 16.0]
+        rand_x_jitter = (0.0, 2.0)
+        rand_vx_range = (0.8, 1.6)
+
+
+class Go2ParkourBootcampCfgPPO(Go2ParkourFinetune2CfgPPO):
+    class algorithm(Go2ParkourFinetune2CfgPPO.algorithm):
+        entropy_coef = 0.005   # keep a sliver of exploration pressure
+
+    class runner(Go2ParkourFinetune2CfgPPO.runner):
+        run_name = "parkour_bootcamp"
