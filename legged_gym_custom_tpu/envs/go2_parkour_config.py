@@ -221,8 +221,14 @@ class Go2ParkourBootcampCfg(Go2ParkourFinetune2Cfg):
     awkward (momentum carries the robot into the zone)."""
 
     class init_state(Go2ParkourFinetune2Cfg.init_state):
-        rand_x_offsets = [0.0, 4.0, 8.0, 12.0, 16.0]
-        rand_x_jitter = (0.0, 2.0)
+        # Flat-segment spawn slots: composites span [6+4k, 6.9+4k] in course
+        # x and the base spawn is x=2, so offsets land spawns in
+        # [3, 5.3] + 4k — always on support, 0.6-2.9 m before the next
+        # composite. (The round-4 run used a coarser {0,4,8,12,16}+[0,2]
+        # grid that put ~25% of spawns inside gaps — insta-terminations that
+        # churned the episode stats; corrected here.)
+        rand_x_offsets = [1.0, 5.2, 9.2, 13.2]
+        rand_x_jitter = (0.0, 2.3)
         rand_vx_range = (0.8, 1.6)
 
 
