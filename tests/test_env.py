@@ -141,3 +141,40 @@ def test_config_instances_isolated():
     b, _ = task_registry.get_cfgs("go2_parkour")
     assert b.terrain.parkour_kwargs["obstacle_lengths"] == orig
     assert b.terrain.terrain_proportions[0] == 1.0
+
+
+def test_spawn_curriculum_reset():
+    """rand_x_offsets / rand_x_jitter / rand_vx_range (the parkour bootcamp
+    spawn curriculum) shape the reset distribution as configured."""
+    import jax
+    import numpy as np
+    from legged_gym_custom_tpu.envs import task_registry
+
+    env_cfg, _ = task_registry.get_cfgs("go2_parkour_bootcamp")
+    env_cfg.env.num_envs = 64
+    env_cfg.terrain.num_rows = 1
+    env_cfg.terrain.num_cols = 1
+    env_cfg.terrain.curriculum = False
+    env, _ = task_registry.make_env(
+        name="go2_parkour_bootcamp", args=None, env_cfg=env_cfg
+    )
+    state, obs = env.reset_all(jax.random.PRNGKey(3))
+    x = np.asarray(state.physics.base_pos[:, 0])
+    vx = np.asarray(state.physics.lin_vel[:, 0])
+    origins_x = np.asarray(state.env_origins[:, 0])
+    rel = x - origins_x - float(env.base_init["pos"][0])
+    offs = np.asarray(env_cfg.init_state.rand_x_offsets)
+    lo_j, hi_j = env_cfg.init_state.rand_x_jitter
+    # every spawn lands in one of the configured slots (+-1 m custom-origin
+    # xy randomization on top of the slot+jitter window)
+    lo = offs.min() + lo_j - 1.01
+    hi = offs.max() + hi_j + 1.01
+    assert (rel >= lo).all() and (rel <= hi).all(), (rel.min(), rel.max())
+    # multiple distinct slots actually used
+    assigned = np.argmin(np.abs(rel[:, None] - offs[None, :]), axis=1)
+    assert len(np.unique(assigned)) >= 3
+    # initial forward velocity applied (reset_all steps once after the
+    # reset — reference base_task.reset semantics — so exact bounds soften;
+    # the default reset draws vx ~ U(-0.5, 0.5) with mean 0)
+    assert vx.mean() > 0.5, vx.mean()
+    assert vx.max() > 1.0
