@@ -14,6 +14,8 @@ from .go2_parkour_config import (
     Go2ParkourFinetune2CfgPPO,
     Go2ParkourBootcampCfg,
     Go2ParkourBootcampCfgPPO,
+    Go2ParkourCommitCfg,
+    Go2ParkourCommitCfgPPO,
 )
 
 task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
@@ -26,6 +28,9 @@ task_registry.register(
 )
 task_registry.register(
     "go2_parkour_bootcamp", Go2Env, Go2ParkourBootcampCfg, Go2ParkourBootcampCfgPPO
+)
+task_registry.register(
+    "go2_parkour_commit", Go2Env, Go2ParkourCommitCfg, Go2ParkourCommitCfgPPO
 )
 
 

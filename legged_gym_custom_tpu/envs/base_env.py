@@ -69,6 +69,10 @@ class EnvState:
     dr: DomainRandParams                  # batched per-env params
     rng: jnp.ndarray                      # PRNG key
     actuator_state: Any = None            # stateful actuator models (SEA LSTM)
+    # Course-progress tracking (round-5 parkour commit stage; None-tolerant
+    # so older call sites that build EnvState without them keep working):
+    max_x: Any = None                     # (B,) max world-x reached this episode
+    stall_time: Any = None                # (B,) s with an active command + no new ground
 
 
 class LeggedEnv:
@@ -242,6 +246,15 @@ class LeggedEnv:
             jump_zone_fwd_gate=getattr(r, "jump_zone_fwd_gate", 0.0),
         )
 
+        # Progress-stall termination (no reference counterpart; round-5
+        # escape from the gap-edge balk optimum — with an active velocity
+        # command, `stall_time_s` seconds without gaining new course ground
+        # ends the episode as a true death, so braking at a gap edge forfeits
+        # the whole remaining horizon instead of farming alive-time).
+        term_cfg = getattr(cfg, "termination", None)
+        self.stall_time_s = float(getattr(term_cfg, "stall_time_s", 0.0) or 0.0)
+        self.stall_min_vel = float(getattr(term_cfg, "stall_min_vel", 0.2))
+
         self.obs_scales = cfg.normalization.obs_scales
         self.commands_scale = jnp.asarray(
             [self.obs_scales.lin_vel, self.obs_scales.lin_vel, self.obs_scales.ang_vel],
@@ -414,6 +427,10 @@ class LeggedEnv:
         reset = contact_term | time_out | upside_down
         if getattr(self.cfg.terrain, "parkour", False):
             reset = reset | (state.physics.base_pos[:, 2] < -1.0)
+        if self.stall_time_s > 0.0 and state.stall_time is not None:
+            # Counted as a death (not a time_out), so PPO does not bootstrap
+            # past it — loitering forfeits the remaining horizon's value.
+            reset = reset | (state.stall_time > self.stall_time_s)
         return reset, time_out
 
     # ------------------------------------------------------------------
@@ -672,9 +689,11 @@ class LeggedEnv:
             dr=dr,
             rng=keys[2],
             actuator_state=self._init_actuator_state(),
+            max_x=jnp.zeros(B),
+            stall_time=jnp.zeros(B),
         )
         physics = self._sample_reset_physics(state, keys[3], origins)
-        state = state.replace(physics=physics)
+        state = state.replace(physics=physics, max_x=physics.base_pos[:, 0])
         cmds = self._resample_commands(state, keys[4], jnp.ones(B, bool))
         state = state.replace(commands=cmds)
         if init_at_random_ep_len:
@@ -758,9 +777,22 @@ class LeggedEnv:
             link_forces=info.link_forces,
         )
 
+        # ---- course progress + stall tracking (round-5 commit stage) ----
+        base_x = ph.base_pos[:, 0]
+        prev_max_x = state.max_x if state.max_x is not None else base_x
+        prev_stall = (
+            state.stall_time if state.stall_time is not None else jnp.zeros(B)
+        )
+        progress = jnp.clip(base_x - prev_max_x, min=0.0) / self.dt  # m/s of new ground
+        max_x = jnp.maximum(prev_max_x, base_x)
+        moving_cmd = jnp.linalg.norm(commands[:, :3], axis=1) >= 0.2
+        stalled = moving_cmd & (progress < self.stall_min_vel)
+        stall_time = jnp.where(stalled, prev_stall + self.dt, 0.0)
+
         # ---- termination (go2.py:186-204) ----
         state_mid = state_pre.replace(
-            physics=ph, commands=commands, measured_heights=measured_heights
+            physics=ph, commands=commands, measured_heights=measured_heights,
+            max_x=max_x, stall_time=stall_time,
         )
         reset_buf, time_out_buf = self._check_termination(state_mid, derived)
 
@@ -792,6 +824,7 @@ class LeggedEnv:
             jump_flags=state.jump_flags,
             reset_buf=reset_buf,
             time_out_buf=time_out_buf,
+            progress=progress,
         )
         rew_buf = jnp.zeros(B)
         episode_sums = state.episode_sums
@@ -844,6 +877,9 @@ class LeggedEnv:
         feet_air_time = jnp.where(rmask, 0.0, feet_air_time)
         last_contacts = jnp.where(rmask, False, last_contacts)
         last_contact_heights = jnp.where(rmask, 0.0, last_contact_heights)
+        # reset envs restart progress tracking from their respawn position
+        max_x = jnp.where(reset_buf, ph.base_pos[:, 0], max_x)
+        stall_time = jnp.where(reset_buf, 0.0, stall_time)
 
         # episode logging extras (go2.py:245-263), branchless means
         n_reset = jnp.sum(reset_buf)
@@ -892,6 +928,8 @@ class LeggedEnv:
             dr=state.dr,
             rng=rng,
             actuator_state=self._reset_actuator_state(actuator_state, reset_buf),
+            max_x=max_x,
+            stall_time=stall_time,
         )
         new_state, obs = self._compute_observations(new_state, derived, k_noise)
 

@@ -221,12 +221,15 @@ class Go2ParkourBootcampCfg(Go2ParkourFinetune2Cfg):
     awkward (momentum carries the robot into the zone)."""
 
     class init_state(Go2ParkourFinetune2Cfg.init_state):
-        # Flat-segment spawn slots: composites span [6+4k, 6.9+4k] in course
-        # x and the base spawn is x=2, so offsets land spawns in
-        # [3, 5.3] + 4k — always on support, 0.6-2.9 m before the next
-        # composite. (The round-4 run used a coarser {0,4,8,12,16}+[0,2]
-        # grid that put ~25% of spawns inside gaps — insta-terminations that
-        # churned the episode stats; corrected here.)
+        # Flat-segment spawn slots: composites span [6+4k, 7.1+4k] in course
+        # x and the base spawn is x=2, so slot+jitter lands spawns in
+        # [3, 5.3] + 4k — 0.7-3.0 m before the next composite.  NOTE the
+        # custom-origin reset additionally jitters xy by ±1 m
+        # (_sample_reset_physics), so worst-case spawns still reach ~0.3 m
+        # into a composite; the commit stage below leaves full 1 m slack.
+        # (The round-4 run used a coarser {0,4,8,12,16}+[0,2] grid that put
+        # ~25% of spawns inside gaps — insta-terminations that churned the
+        # episode stats; corrected here.)
         rand_x_offsets = [1.0, 5.2, 9.2, 13.2]
         rand_x_jitter = (0.0, 2.3)
         rand_vx_range = (0.8, 1.6)
@@ -238,3 +241,48 @@ class Go2ParkourBootcampCfgPPO(Go2ParkourFinetune2CfgPPO):
 
     class runner(Go2ParkourFinetune2CfgPPO.runner):
         run_name = "parkour_bootcamp"
+
+
+class Go2ParkourCommitCfg(Go2ParkourBootcampCfg):
+    """Commitment stage (round 5) — makes edge-balking a losing strategy
+    instead of hoping exploration out-competes it.
+
+    The round-4 plateau: the stochastic policy attempts and sometimes lands
+    composite crossings (flight-rich gait, 0.35 m open-loop air), but the
+    deterministic mean brakes at every gap edge ≥0.2 m.  Balking survives
+    because it is SAFE: a braked robot keeps its episode (and its trickle of
+    phase/posture reward) while a missed jump dies.  Two additions change
+    the payoff matrix directly:
+
+    * progress-stall termination (`termination.stall_time_s`): with an
+      active velocity command, 2 s without gaining NEW course ground ends
+      the episode as a death (no value bootstrap).  Balking now forfeits the
+      same future the missed jump does — committing is the only strategy
+      with upside.  "New ground" (x beyond the episode's running max) is
+      oscillation-proof: edge-bobs, backtracks and lateral pacing all gain
+      none of it, while a pre-jump crouch shorter than 2 s is unaffected.
+    * a `progress` reward on the same signal: pays scale*dx once per metre
+      of new ground, so a landed crossing is worth the gap width in reward
+      no matter how un-tracklike the jump's velocity profile is.
+
+    Spawn slots leave a full 1 m of slack for the reset's ±1 m xy jitter so
+    every spawn starts on support: slots+jitter+2 land in [3.1, 4.0]+{0,
+    5.05, 9.05, 13.05} ⊂ flat segments ±1 m (composites span [6+4k, 7.1+4k]).
+    """
+
+    class init_state(Go2ParkourBootcampCfg.init_state):
+        rand_x_offsets = [1.1, 6.15, 10.15, 14.15]
+        rand_x_jitter = (0.0, 0.8)
+
+    class termination:
+        stall_time_s = 2.0     # s of no-new-ground under command → death
+        stall_min_vel = 0.2    # m/s of new ground that counts as progress
+
+    class rewards(Go2ParkourBootcampCfg.rewards):
+        class scales(Go2ParkourBootcampCfg.rewards.scales):
+            progress = 1.5     # ≈ perfect-tracking-sized at 1.5 m/s new ground
+
+
+class Go2ParkourCommitCfgPPO(Go2ParkourBootcampCfgPPO):
+    class runner(Go2ParkourBootcampCfgPPO.runner):
+        run_name = "parkour_commit"

@@ -82,6 +82,11 @@ class RewardCtx(NamedTuple):
     jump_flags: jnp.ndarray        # (B,)
     reset_buf: jnp.ndarray         # (B,) bool
     time_out_buf: jnp.ndarray      # (B,) bool
+    # New-ground rate (m/s): clip(base_x - max_x_so_far, 0)/dt.  Zero while
+    # re-covering previously reached ground, so pacing/bobbing at a gap edge
+    # earns nothing while genuinely crossing earns the gap width.  None for
+    # callers predating the field (treated as zero by _reward_progress).
+    progress: jnp.ndarray = None   # (B,)
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +320,18 @@ def _reward_jump_zone_upward_vel(ctx, s):
     return up * jump * _jump_motion_gate(ctx, s)
 
 
+def _reward_progress(ctx, s):
+    """New-ground bonus (round-5 commit stage; no reference counterpart —
+    the reference attacks the same balk optimum with repeated finetunes,
+    deploy/networks/go2/parkour_v12_ft_i..iii).  Pays only for course-x the
+    robot has never reached before this episode, so the total is bounded by
+    distance covered and the edge-bob/backtrack loop earns exactly zero."""
+    if ctx.progress is None:
+        return jnp.zeros(ctx.base_pos.shape[0])
+    moving = (jnp.linalg.norm(ctx.commands[:, :3], axis=1) >= 0.2).astype(jnp.float32)
+    return ctx.progress * moving
+
+
 def _reward_min_height(ctx, s):
     z_err = jnp.clip(s.base_height_target - ctx.base_pos[:, 2], 0.0, s.base_height_target)
     jump = (ctx.jump_flags > 0.0).astype(jnp.float32)
@@ -403,6 +420,7 @@ REWARD_REGISTRY: Dict[str, Callable] = {
     "reverse_penalty": _reward_reverse_penalty,
     "jump_zone_forward_vel": _reward_jump_zone_forward_vel,
     "jump_zone_upward_vel": _reward_jump_zone_upward_vel,
+    "progress": _reward_progress,
     "min_height": _reward_min_height,
     "no_fly": _reward_no_fly,
     "contact": _reward_g1_contact,

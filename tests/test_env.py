@@ -178,3 +178,55 @@ def test_spawn_curriculum_reset():
     # the default reset draws vx ~ U(-0.5, 0.5) with mean 0)
     assert vx.mean() > 0.5, vx.mean()
     assert vx.max() > 1.0
+
+
+def test_progress_stall_termination():
+    """Round-5 commit-stage mechanics (go2_parkour_commit): with an active
+    velocity command and no new course ground, `stall_time` accumulates and
+    terminates the episode as a death (not a time_out); `max_x` tracks the
+    episode's running max; the `progress` reward term is registered."""
+    env_cfg, _ = task_registry.get_cfgs("go2")
+    env_cfg.env.num_envs = 4
+    env_cfg.domain_rand.push_robots = False
+
+    class termination:
+        stall_time_s = 0.24   # 12 control steps at dt=0.02
+        stall_min_vel = 0.2
+
+    env_cfg.termination = termination
+    env_cfg.rewards.scales.progress = 1.5
+    env = task_registry.get_task_class("go2")(env_cfg, env_cfg.asset.file, name="go2")
+    assert env.stall_time_s == pytest.approx(0.24)
+    assert "progress" in env.reward_names
+
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    # force an active forward command and a fresh episode clock
+    cmds = jnp.tile(jnp.array([0.8, 0.0, 0.0, 0.0]), (4, 1))
+    state = state.replace(
+        commands=cmds, episode_length=jnp.zeros(4, jnp.int32),
+        stall_time=jnp.zeros(4),
+    )
+    step = jax.jit(env.step)
+    zero = jnp.zeros((4, env.num_actions))
+    died_at = None
+    for i in range(40):
+        prev_max = np.asarray(state.max_x)
+        state = state.replace(commands=cmds)
+        state, obs, rew, done, info = step(state, zero)
+        # max_x never decreases for surviving envs
+        alive = ~np.asarray(done)
+        assert (np.asarray(state.max_x)[alive] >= prev_max[alive] - 1e-6).all()
+        if bool(np.asarray(done).any()):
+            died_at = i
+            assert not bool(np.asarray(info["time_outs"]).any())
+            break
+    # a PD-held standing robot gains no ground: the stall rule must fire
+    # within stall_time_s (12 steps) plus a small slack
+    assert died_at is not None and died_at <= 20, died_at
+    # reset envs restarted their progress tracking at the respawn position
+    d = np.asarray(done)
+    np.testing.assert_allclose(
+        np.asarray(state.max_x)[d], np.asarray(state.physics.base_pos[:, 0])[d],
+        atol=1e-5,
+    )
+    assert (np.asarray(state.stall_time)[d] == 0.0).all()
