@@ -164,6 +164,25 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# mpc bench failed: {e}", file=sys.stderr)
 
+    # 3b. closed-loop one-dispatch-per-tick latency receipt (VERDICT r4
+    # weak #3): sustained >=1000 real dispatches, device p99 from the
+    # profiler's device plane — no chain amortization.
+    try:
+        from legged_gym_custom_tpu.mpc.bench import run_closed_loop
+
+        cl = run_closed_loop(
+            batch=8 if on_accel else 2, samples=K, horizon=10,
+            ticks=1000 if on_accel else 50,
+        )
+        if cl.get("value") is not None:
+            cl["vs_baseline"] = round(20.0 / max(cl["value"], 1e-6), 4)
+            cl["baseline_note"] = "north-star budget 20 ms (50 Hz); device " \
+                "p99 is per-dispatch (profiler device plane), wall includes " \
+                "the tunnel RTT shown in the decomposition"
+        emit(cl)
+    except Exception as e:  # pragma: no cover
+        print(f"# closed-loop mpc bench failed: {e}", file=sys.stderr)
+
     # 4. weak scaling on the virtual CPU mesh
     try:
         detail, eff = bench_weak_scaling()

@@ -167,7 +167,23 @@ class LeggedEnv:
             dof_damping=_per_dof(getattr(cfg.sim, "joint_damping", 0.0)),
             dof_armature=_per_dof(getattr(cfg.sim, "joint_armature", 0.0)),
             dof_frictionloss=_per_dof(getattr(cfg.sim, "joint_frictionloss", 0.0)),
+            frictionloss_implicit=bool(
+                getattr(cfg.sim, "joint_frictionloss_implicit", False)
+            ),
         )
+        if (
+            self.sim_params.frictionloss_implicit
+            and self.sim_params.dof_frictionloss is not None
+        ):
+            meff = phys.effective_joint_inertia(
+                self.ma,
+                np.asarray(
+                    [cfg.init_state.default_joint_angles[d] for d in m.dof_names],
+                    np.float32,
+                ),
+                armature=self.sim_params.dof_armature,
+            )
+            self.sim_params = self.sim_params._replace(dof_meff=meff)
 
         # ---- link groups (name-substring matching, legged_robot.py:846-894) ----
         self.feet_ids = m.link_ids_matching(cfg.asset.foot_name)

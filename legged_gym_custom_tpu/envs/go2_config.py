@@ -83,7 +83,7 @@ class Go2Cfg(LeggedRobotCfg):
         # penalty-spring push-off energy that MuJoCo's hard contact (and the
         # real robot) won't return.  substeps=4 keeps the explicit integrator
         # inside its stability bound at the higher stiffness
-        # (tests/test_engine.py::test_contact_stability_bounds).
+        # (tests/test_engine.py::test_joint_passive_dynamics).
         substeps = 4
         contact_stiffness = 40000.0
         contact_damping = 250.0

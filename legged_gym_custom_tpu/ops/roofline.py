@@ -1,0 +1,231 @@
+"""Speed-of-light accounting for the fused control-step kernel (SURVEY §5,
+VERDICT r4 weak #5: "is it actually fast or just faster than XLA?").
+
+Three parts:
+
+* an exact per-env operation count, derived by tracing the kernel's own
+  shared component math (`fused_step.control_step_components`) to a jaxpr
+  and counting primitives — the same graph the Mosaic kernel executes, so
+  the count tracks the implementation automatically instead of rotting as a
+  hand-made estimate;
+* measured machine peaks — VPU elementwise FMA throughput, transcendental
+  throughput, and HBM stream bandwidth — from three on-chip microbenchmarks
+  (each a lax.scan chain inside ONE dispatch, so the tunneled host's ~25 ms
+  RTT amortizes away).  Published datasheet numbers for this part (v5-lite)
+  are not load-bearing: the roofline denominator is what THIS chip actually
+  sustains on the unit the kernel uses (the VPU — the component math is
+  elementwise over the 128-lane env axis; the MXU is idle by design);
+* the roofline ratio: achieved kernel time vs
+  max(compute_time, memory_time), where compute_time charges elementwise
+  flops and transcendentals at their measured rates and memory_time charges
+  the kernel's HBM traffic at measured stream bandwidth.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Primitive -> elementwise flop weight.  Comparisons/selects/min/max are
+# 1 ALU op; div is multi-cycle on the VPU (documented weight 4).  Layout /
+# bookkeeping primitives (slice, squeeze, convert, iota, broadcast) count 0:
+# undercounting work UNDERSTATES the speed-of-light bound, so the reported
+# roofline %% is a floor, never flattery.
+_FLOP_WEIGHTS = {
+    "add": 1, "sub": 1, "mul": 1, "neg": 1, "abs": 1,
+    "max": 1, "min": 1, "select_n": 1, "clamp": 2,
+    "ge": 1, "gt": 1, "le": 1, "lt": 1, "eq": 1, "ne": 1,
+    "and": 1, "or": 1, "not": 1, "xor": 1,
+    "sign": 1, "floor": 1, "ceil": 1, "round": 1,
+    "integer_pow": 1,  # traced x**2 -> one mul
+    "div": 4,
+}
+_TRANS_PRIMS = {
+    "sqrt", "rsqrt", "tanh", "sin", "cos", "exp", "log", "logistic",
+    "atan2", "asin", "acos", "pow",
+}
+
+
+def count_kernel_ops(spec) -> Dict[str, int]:
+    """Trace control_step_components on (1,)-shaped leaves and count
+    primitive applications.  Returns per-ENV counts for one full control
+    step (decimation x substeps unrolled, exactly as the kernel runs it)."""
+    from . import fused_step
+
+    ndof = len(spec.parent) - 1
+    one = lambda: jnp.zeros((1,), jnp.float32)
+    st = dict(
+        pos=[one() for _ in range(3)],
+        quat=[one() for _ in range(4)],
+        lin=[one() for _ in range(3)],
+        ang=[one() for _ in range(3)],
+        q=[one() for _ in range(ndof)],
+        qd=[one() for _ in range(ndof)],
+    )
+    terrain = None
+    if spec.hf_K:
+        terrain = dict(
+            patch=jnp.zeros((spec.hf_K, spec.hf_K, 1), jnp.float32),
+            xoff=one(), yoff=one(),
+        )
+
+    def fn(st, actions, friction, added_mass, com_offset, kp, kd, terrain):
+        return fused_step.control_step_components(
+            spec, st, actions, friction, added_mass, com_offset, kp, kd,
+            terrain=terrain,
+        )
+
+    jaxpr = jax.make_jaxpr(fn)(
+        st, [one() for _ in range(ndof)], one(), one(),
+        [one() for _ in range(3)],
+        [one() for _ in range(ndof)], [one() for _ in range(ndof)],
+        terrain,
+    )
+    flops = trans = other = 0
+
+    def walk(jx):
+        nonlocal flops, trans, other
+        for eqn in jx.eqns:
+            nm = eqn.primitive.name
+            # per-env op cost scales with the output element count (the
+            # terrain tent-weight math runs over (K,) rows per env)
+            size = max(
+                (int(np.prod(v.aval.shape)) for v in eqn.outvars
+                 if hasattr(v.aval, "shape")),
+                default=1,
+            )
+            if nm in _FLOP_WEIGHTS:
+                flops += _FLOP_WEIGHTS[nm] * size
+            elif nm == "reduce_sum":
+                # adds scale with the INPUT element count
+                flops += max(
+                    (int(np.prod(v.aval.shape)) for v in eqn.invars
+                     if hasattr(v.aval, "shape")),
+                    default=1,
+                )
+            elif nm in _TRANS_PRIMS:
+                trans += size
+            elif nm in ("closed_call", "pjit", "custom_jvp_call",
+                        "custom_vjp_call_jaxpr", "scan", "while", "cond"):
+                for sub in eqn.params.values():
+                    if hasattr(sub, "jaxpr"):
+                        walk(sub.jaxpr)
+            else:
+                other += size
+        return jx
+
+    walk(jaxpr.jaxpr)
+    return {"flops": int(flops), "transcendentals": int(trans),
+            "other_prims": int(other)}
+
+
+def kernel_bytes_per_env(spec) -> int:
+    """HBM traffic per env per control step: every input read once into
+    VMEM, every output written once (the whole point of the fusion — no
+    intermediate HBM round-trips)."""
+    ndof = len(spec.parent) - 1
+    nl = spec.n_links
+    state_io = 3 + 4 + 3 + 3 + ndof + ndof          # in AND out
+    dr_in = 1 + 1 + 3 + ndof + ndof
+    act_in = ndof
+    out_extra = nl * 3 + ndof                        # link forces + torques
+    n_f32 = 2 * state_io + dr_in + act_in + out_extra
+    if spec.hf_K:
+        n_f32 += spec.hf_K * spec.hf_K + 2           # patch + x/y offsets
+    return 4 * n_f32
+
+
+def _timed_chain(fn, x, repeats=3):
+    """Wall-time one jitted dispatch (the chain amortizes the tunnel RTT)."""
+    jfn = jax.jit(fn)
+    jax.block_until_ready(jfn(x))  # compile + warm
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jfn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_vpu_peak_gflops(size_mb: float = 4.0, iters: int = 4096) -> float:
+    """Sustained f32 elementwise FMA rate: a serial scan of x*a+b on a
+    VMEM-sized array.  2 flops/element/iteration."""
+    n = int(size_mb * 1e6 / 4) // 1024 * 1024
+    x = jnp.ones((8, n // 8), jnp.float32)
+
+    def fn(x):
+        def body(c, _):
+            return c * 1.0000001 + 1e-7, None
+        y, _ = lax.scan(body, x, None, length=iters)
+        return y
+
+    t = _timed_chain(fn, x)
+    return 2.0 * x.size * iters / t / 1e9
+
+
+def measure_trans_rate_gops(size_mb: float = 4.0, iters: int = 512) -> float:
+    """Sustained tanh rate (the kernel's transcendentals: tanh friction
+    smoothing, quaternion-adjacent sqrt/rsqrt, scan-free)."""
+    n = int(size_mb * 1e6 / 4) // 1024 * 1024
+    x = jnp.full((8, n // 8), 0.5, jnp.float32)
+
+    def fn(x):
+        def body(c, _):
+            return jnp.tanh(c) + 1.0000001, None
+        y, _ = lax.scan(body, x, None, length=iters)
+        return y
+
+    t = _timed_chain(fn, x)
+    return x.size * iters / t / 1e9
+
+
+def measure_hbm_bw_gbps(size_mb: float = 256.0, iters: int = 32) -> float:
+    """Sustained HBM stream bandwidth: x+1 over an array far larger than
+    VMEM (read + write each iteration)."""
+    n = int(size_mb * 1e6 / 4) // 1024 * 1024
+    x = jnp.ones((n,), jnp.float32)
+
+    def fn(x):
+        def body(c, _):
+            return c + 1.0, None
+        y, _ = lax.scan(body, x, None, length=iters)
+        return y
+
+    t = _timed_chain(fn, x)
+    return 2.0 * 4.0 * x.size * iters / t / 1e9
+
+
+def roofline_report(spec, achieved_ms: float, batch: int,
+                    peaks: Dict[str, float] | None = None) -> Dict:
+    """Achieved vs speed-of-light for one fused control step at `batch`."""
+    ops = count_kernel_ops(spec)
+    bpe = kernel_bytes_per_env(spec)
+    if peaks is None:
+        peaks = {
+            "vpu_gflops": measure_vpu_peak_gflops(),
+            "trans_gops": measure_trans_rate_gops(),
+            "hbm_gbps": measure_hbm_bw_gbps(),
+        }
+    compute_ms = (
+        ops["flops"] / (peaks["vpu_gflops"] * 1e9)
+        + ops["transcendentals"] / (peaks["trans_gops"] * 1e9)
+    ) * batch * 1e3
+    memory_ms = bpe * batch / (peaks["hbm_gbps"] * 1e9) * 1e3
+    sol_ms = max(compute_ms, memory_ms)
+    return {
+        "per_env_flops": ops["flops"],
+        "per_env_transcendentals": ops["transcendentals"],
+        "per_env_hbm_bytes": bpe,
+        "measured_peaks": {k: round(v, 1) for k, v in peaks.items()},
+        "compute_bound_ms": round(compute_ms, 3),
+        "memory_bound_ms": round(memory_ms, 3),
+        "speed_of_light_ms": round(sol_ms, 3),
+        "achieved_ms": round(achieved_ms, 3),
+        "bound": "compute" if compute_ms >= memory_ms else "memory",
+        "roofline_pct": round(100.0 * sol_ms / max(achieved_ms, 1e-9), 1),
+    }

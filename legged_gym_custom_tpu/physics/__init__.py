@@ -8,6 +8,7 @@ from .engine import (
     SimParams,
     StepInfo,
     control_step,
+    effective_joint_inertia,
     link_states,
     substep,
 )
