@@ -183,6 +183,25 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# closed-loop mpc bench failed: {e}", file=sys.stderr)
 
+    # 3c. fused-kernel speed-of-light accounting (SURVEY §5; VERDICT r4
+    # weak #5): achieved kernel time vs the measured-machine-peak roofline.
+    if on_accel:
+        try:
+            from legged_gym_custom_tpu.scripts.check_fused_tpu import roofline_bench
+
+            rl = roofline_bench(batch=4096, terrain=True, full_plant=True)
+            emit({
+                "metric": "fused_kernel_roofline_pct",
+                "value": rl["roofline_pct"],
+                "unit": "% of measured speed-of-light (max of VPU-compute "
+                        "and HBM-memory bounds) achieved by the terrain "
+                        "full-plant kernel at B=4096",
+                "vs_baseline": None,
+                "detail": rl,
+            })
+        except Exception as e:  # pragma: no cover
+            print(f"# roofline bench failed: {e}", file=sys.stderr)
+
     # 4. weak scaling on the virtual CPU mesh
     try:
         detail, eff = bench_weak_scaling()

@@ -101,6 +101,13 @@ def run_bench(procs: int = 2, total_envs: int = 64, iters: int = 3,
         "fps_1proc_1core": r1["fps"],
         f"fps_{procs}proc_{procs}core": rn["fps"],
         "efficiency": round(eff, 4),
+        # phase split (last iteration): where the scaling loss lives —
+        # collection (env scan, per-step scalar collectives) vs learning
+        # (minibatched update, full-gradient pmean per minibatch)
+        "collection_s_1proc": r1.get("collection_s"),
+        "learning_s_1proc": r1.get("learning_s"),
+        f"collection_s_{procs}proc": rn.get("collection_s"),
+        f"learning_s_{procs}proc": rn.get("learning_s"),
         "taskset": shutil.which("taskset") is not None,
     }
 

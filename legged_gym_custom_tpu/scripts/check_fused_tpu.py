@@ -128,6 +128,49 @@ def ks_stat(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.abs(cdf_a - cdf_b).max())
 
 
+def roofline_bench(batch: int = 4096, terrain: bool = True,
+                   full_plant: bool = True, iters: int = 30):
+    """Kernel-only timing + speed-of-light accounting (SURVEY §5, VERDICT r4
+    weak #5).  Skips the XLA reference path entirely (its B=4096 terrain
+    compile costs minutes and is irrelevant to the roofline question), so
+    this is cheap enough for bench.py's round-end run.
+    """
+    from legged_gym_custom_tpu.ops import roofline
+
+    ma, hf, params, pd, dr, dof_limits, state, actions = build(
+        batch, terrain=terrain, full_plant=full_plant
+    )
+    local_patch = None
+    hf_K, hf_hs = 0, 0.0
+    if terrain:
+        from legged_gym_custom_tpu.physics import patch as patch_lib
+
+        K = -(-int(round(2 * params.patch_halfwidth / hf.horizontal_scale)) // 8) * 8
+        local_patch = patch_lib.extract(hf, state.base_pos[0], state.base_pos[1], K)
+        hf_K, hf_hs = K, hf.horizontal_scale
+
+    def run():
+        return fused_step.maybe_fused_control_step(
+            ma, hf, params, pd, dr, dof_limits, state, actions,
+            local_patch=local_patch,
+        )
+
+    out = run()
+    assert out is not None, "fused kernel unavailable"
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    achieved_ms = (time.time() - t0) / iters * 1e3
+
+    spec = fused_step.build_spec(ma, params, pd, dof_limits,
+                                 hf_K=hf_K, hf_hs=float(hf_hs))
+    report = roofline.roofline_report(spec, achieved_ms, batch)
+    report.update(batch=batch, terrain=terrain, full_plant=full_plant)
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -139,8 +182,20 @@ def main():
     ap.add_argument("--rollout", type=int, default=0,
                     help="N>0: closed-loop N-step distributional parity gate "
                          "(KS statistic over trajectory stats, XLA vs kernel)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="kernel-only speed-of-light accounting (skips the "
+                         "XLA reference path)")
     ap.add_argument("--out", default=None, help="write the JSON receipt here")
     args = ap.parse_args()
+
+    if args.roofline:
+        report = roofline_bench(args.batch, terrain=args.terrain,
+                                full_plant=args.full_plant, iters=args.iters)
+        print(json.dumps(report))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+        return
 
     ma, hf, params, pd, dr, dof_limits, state, actions = build(
         args.batch, terrain=args.terrain, full_plant=args.full_plant

@@ -99,6 +99,11 @@ def main(argv=None):
             "num_envs": args.num_envs,
             "iterations": args.iterations,
             "fps": round(float(fps), 1),
+            # last-iteration phase split, for the comm-budget breakdown
+            # (collection = env scan + GAE; learning = minibatched update
+            # with the cross-process gradient pmean)
+            "collection_s": round(float(runner._collection_time), 3),
+            "learning_s": round(float(runner._learn_time), 3),
             "value_loss": float(np.asarray(metrics.get("value_loss", np.nan))),
             "ckpt": ckpt_path,
             "restored_iteration": restored_iteration,

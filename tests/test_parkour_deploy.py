@@ -178,6 +178,82 @@ def test_parkour_policy_transfers_to_mujoco_oracle():
     assert abs(qpos[-1, 1] - qpos[0, 1]) < 1.0, "large lateral drift"
 
 
+R5ART = os.path.join(REPO, "trained", "go2_parkour_tpu_r5")
+R5BUNDLE = os.path.join(R5ART, "policy_bundle.npz")
+R5SCENE = os.path.join(R5ART, "gap_scene.xml")
+R5CFG = os.path.join(REPO, "deploy_configs", "go2_parkour_tpu_r5.yaml")
+_r5_ready = all(os.path.exists(p) for p in (R5BUNDLE, R5SCENE, R5CFG))
+
+
+@needs_artifacts
+@pytest.mark.xfail(
+    condition=not _r5_ready,
+    reason="round-5 commit-stage artifact not yet landed; the bar exists "
+           "before the policy clears it (VERDICT r4 next-round #2)",
+    strict=False,
+)
+def test_parkour_gap_crossings_in_mujoco_oracle():
+    """THE flagship acceptance bar (VERDICT r4 'Done' criterion): in the
+    MuJoCo oracle — not just in-engine — the deterministic deploy bundle
+    crosses >=3 plain gaps of >=0.25 m, with at least one genuine flight
+    phase (all four feet out of contact >=3 consecutive 50 Hz ticks).
+    Gap positions come from the scene's committed .meta.json, crossings are
+    counted against the robot's max x, and falling into a gap (base z below
+    the course surface) ends the count."""
+    pytest.importorskip("mujoco")
+    from legged_gym_custom_tpu.deploy.config_parser import ConfigParser
+    from legged_gym_custom_tpu.deploy import mujoco_runner
+
+    bundle, scene_meta, cfg_path = R5BUNDLE, R5SCENE[:-4] + ".meta.json", R5CFG
+    if not _r5_ready:
+        # run the bar against the r4 bundle so the xfail documents the
+        # actual shortfall rather than erroring out
+        bundle, cfg_path = BUNDLE, os.path.join(
+            REPO, "deploy_configs", "go2_parkour_tpu_r4.yaml"
+        )
+        scene_meta = None
+
+    cfg = ConfigParser(cfg_path, root_dir=REPO)
+    cmd = np.array([1.2, 0.0, 0.0], np.float32)
+    traj = mujoco_runner.run(
+        cfg, bundle, duration_s=14.0, viewer=False, realtime=False,
+        command_source=lambda: cmd,
+    )
+    qpos = traj["qpos"]
+    contact = np.asarray(traj["foot_contact"])  # (n_sim_steps, 4)
+
+    if scene_meta is not None:
+        with open(scene_meta) as f:
+            meta = json.load(f)
+        far_edges = np.asarray(meta["gap_far_edges_mj"])
+        gap_width = meta["gap_width"]
+    else:
+        far_edges = np.asarray([3.4, 6.9, 10.4, 13.9])  # r4 0.4 m scene
+        gap_width = 0.4
+    assert gap_width >= 0.25
+
+    # count gaps crossed while the base is still above the course surface
+    alive = qpos[:, 2] > -0.5
+    x_alive = np.where(alive, qpos[:, 0], -np.inf)
+    max_x = np.maximum.accumulate(x_alive).max()
+    crossed = int((max_x > far_edges + 0.05).sum())
+
+    # flight phases: all four feet unloaded for >=3 consecutive control
+    # ticks = >=3 * control_decimation sim steps
+    airborne = ~contact.any(axis=1)
+    run_len, best = 0, 0
+    for a in airborne:
+        run_len = run_len + 1 if a else 0
+        best = max(best, run_len)
+    flight_ticks = best / cfg.control_decimation
+
+    assert crossed >= 3, (
+        f"crossed {crossed} gaps of {gap_width} m (max_x={max_x:.2f}, "
+        f"far edges {far_edges.tolist()})"
+    )
+    assert flight_ticks >= 3, f"no flight phase (best {flight_ticks:.1f} ticks)"
+
+
 @needs_artifacts
 def test_scan_trace_artifact_replays():
     """The committed self-captured scan trace parses and feeds the replay
