@@ -16,6 +16,8 @@ from .go2_parkour_config import (
     Go2ParkourBootcampCfgPPO,
     Go2ParkourCommitCfg,
     Go2ParkourCommitCfgPPO,
+    Go2ParkourGapCommitCfg,
+    Go2ParkourGapCommitCfgPPO,
 )
 
 task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
@@ -31,6 +33,10 @@ task_registry.register(
 )
 task_registry.register(
     "go2_parkour_commit", Go2Env, Go2ParkourCommitCfg, Go2ParkourCommitCfgPPO
+)
+task_registry.register(
+    "go2_parkour_gap_commit", Go2Env, Go2ParkourGapCommitCfg,
+    Go2ParkourGapCommitCfgPPO,
 )
 
 

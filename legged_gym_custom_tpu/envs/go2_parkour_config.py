@@ -286,3 +286,45 @@ class Go2ParkourCommitCfg(Go2ParkourBootcampCfg):
 class Go2ParkourCommitCfgPPO(Go2ParkourBootcampCfgPPO):
     class runner(Go2ParkourBootcampCfgPPO.runner):
         run_name = "parkour_commit"
+
+
+class Go2ParkourGapCommitCfg(Go2ParkourCommitCfg):
+    """Commit stage, rung 2: plain-gap course with in-course width
+    progression.  The composite jump course (gap + raised 0.2 m platform +
+    gap) never produced crossings in the deterministic mean across five
+    stages; this rung trains the acceptance capability directly — plain
+    gaps widening 0.15→0.35 m along the course (the 0.15 m entry is a gap
+    the r4 policy already crosses, so every episode starts from practiced
+    behavior and the stall rule forces progression onto the wider ones).
+    Spawn slots put robots on the flat segments between gaps (gap k spans
+    [5+3.5k, 5.35+3.5k]; flats are ~3.15 m) with 1 m slack for the reset's
+    ±1 m xy jitter."""
+
+    class terrain(Go2ParkourCommitCfg.terrain):
+        parkour = True
+        curriculum = False
+        add_roughness_to_selected_terrain = False
+        _n = 7
+        parkour_kwargs = {
+            "start_platform_length": 3.0,
+            "start_platform_height": 0.0,
+            "x_positions": list(np.arange(5.0, 5.0 + 7 * 3.5, 3.5)),
+            "y_positions": [0.0] * 7,
+            "obstacle_heights": [-2.0] * 7,
+            "obstacle_lengths": [0.15, 0.20, 0.25, 0.30, 0.30, 0.35, 0.35],
+            "half_valid_width": 5.0,
+            "border_width": 0.50,
+            "border_height": -2.0,
+        }
+
+    class init_state(Go2ParkourCommitCfg.init_state):
+        # flats between gaps: [5.35+3.5k, 8.5+3.5k]; spawn = 2 + slot +
+        # jitter ± 1 must stay >=1 m inside → slot+2+[0,0.8] ∈ [6.35+3.5k+1,
+        # 8.5+3.5k-1+0.8... keep simple margins]
+        rand_x_offsets = [1.1, 4.6, 8.1, 11.6, 15.1]
+        rand_x_jitter = (0.0, 0.8)
+
+
+class Go2ParkourGapCommitCfgPPO(Go2ParkourCommitCfgPPO):
+    class runner(Go2ParkourCommitCfgPPO.runner):
+        run_name = "parkour_gap_commit"

@@ -548,9 +548,12 @@ def test_fused_fallback_conditions(go2):
 
 
 def test_fused_T_control_parity(go2, monkeypatch):
-    """control_type='T' (direct scaled torque) through the kernel matches
-    the XLA engine (VERDICT r4 weak #4: the kernel must serve the
-    torque-control MPC path)."""
+    """control_type='T' (direct scaled torque) through the kernel's shared
+    component math matches the XLA engine (VERDICT r4 weak #4: the kernel
+    must serve the torque-control MPC path).  Eager component trace, not
+    interpret mode — the 13-body Go2 kernel is minutes-slow in the
+    interpreter (see test_pallas_lowering_smoke); the lowering surface is
+    covered there on the tiny hopper and on hardware by check_fused_tpu."""
     ma, pd, dof_limits = go2
     pd = pd._replace(control_type="T", action_scale=5.0)
     hf = phys.plane()
@@ -561,34 +564,94 @@ def test_fused_T_control_parity(go2, monkeypatch):
     ref_state, ref_info, _ = phys.control_step(
         ma, hf, params, pd, dr, dof_limits, state, actions
     )
-    monkeypatch.setenv("LGC_FUSED_KERNEL", "interpret")
-    out = fused_step.maybe_fused_control_step(
-        ma, hf, params, pd, dr, dof_limits, state, actions
+    st, link_forces, torques = _run_components(
+        ma, params, pd, dof_limits, state, dr, actions
     )
-    assert out is not None, "kernel unexpectedly unavailable for 'T'"
-    (pos, quat_o, lin, ang, q, qd), link_forces, torques = out
     np.testing.assert_allclose(torques, ref_info.torques, atol=1e-4, rtol=1e-5)
-    np.testing.assert_allclose(pos, ref_state.base_pos, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(qd, ref_state.dof_vel, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(st["pos"], ref_state.base_pos, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(
         link_forces, ref_info.link_forces, atol=0.01, rtol=1e-3
     )
 
 
-def test_fused_batch_padding_parity(go2, monkeypatch):
+def test_fused_stiction_component_parity(go2, monkeypatch):
+    """frictionloss_implicit (velocity-space Coulomb clamp) through the
+    kernel's shared component math matches the XLA engine."""
+    ma, pd, dof_limits = go2
+    hf = phys.plane()
+    params = phys.SimParams(
+        decimation=2, substeps=1,
+        dof_damping=jnp.full(12, 0.1),
+        dof_armature=jnp.full(12, 0.01),
+        dof_frictionloss=jnp.full(12, 0.2),
+        frictionloss_implicit=True,
+        dof_meff=phys.effective_joint_inertia(
+            ma, DEFAULT_ANGLES, armature=jnp.full(12, 0.01)
+        ),
+    )
+    state, dr, actions = _rand_batch(jax.random.PRNGKey(11))
+
+    monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
+    ref_state, ref_info, _ = phys.control_step(
+        ma, hf, params, pd, dr, dof_limits, state, actions
+    )
+    st, link_forces, torques = _run_components(
+        ma, params, pd, dof_limits, state, dr, actions
+    )
+    np.testing.assert_allclose(st["qd"], ref_state.dof_vel, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(st["q"], ref_state.dof_pos, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(torques, ref_info.torques, atol=1e-3, rtol=1e-4)
+
+
+def test_fused_batch_padding_parity(tmp_path, monkeypatch):
     """A non-tile-multiple batch (B=12, the single-robot MPC operating
     regime) is edge-padded to one 128-lane tile inside
     maybe_fused_control_step and sliced back; results must match the XLA
-    engine on the unpadded batch exactly as the aligned case does."""
-    ma, pd, dof_limits = go2
+    engine on the unpadded batch.  Uses the tiny hopper so the REAL pallas
+    interpret path (where the padding glue lives) stays CI-fast."""
+    urdf = tmp_path / "tiny.urdf"
+    urdf.write_text(_TINY_URDF)
+    model = phys.load_urdf(str(urdf), "tiny")
+    ma = phys.model_arrays(model)
+    ndof = 1
+    pd = phys.PDParams(
+        p_gains=jnp.full(ndof, 20.0),
+        d_gains=jnp.full(ndof, 0.5),
+        default_dof_pos=jnp.zeros(ndof),
+        torque_limits=jnp.asarray(model.dof_effort_limits, jnp.float32),
+        action_scale=0.25,
+    )
+    dof_limits = (
+        jnp.asarray(model.dof_pos_limits[:, 0], jnp.float32),
+        jnp.asarray(model.dof_pos_limits[:, 1], jnp.float32),
+        jnp.asarray(model.dof_vel_limits, jnp.float32),
+    )
     hf = phys.plane()
     params = phys.SimParams(decimation=2, substeps=1)
-    state, dr, actions = _rand_batch(jax.random.PRNGKey(5))
     n = 12
-    take = lambda x: x[..., :n]
-    state = phys.PhysicsState(*(take(x) for x in state))
-    dr = phys.DomainRandParams(*(take(x) for x in dr))
-    actions = take(actions)
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 6)
+    quat = jax.random.normal(ks[0], (4, n)) * 0.05 + jnp.array(
+        [1.0, 0, 0, 0])[:, None]
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    state = phys.PhysicsState(
+        base_pos=jnp.concatenate(
+            [jnp.zeros((2, n)),
+             jax.random.uniform(ks[1], (1, n), minval=0.15, maxval=0.3)]
+        ),
+        base_quat=quat,
+        lin_vel=jax.random.normal(ks[2], (3, n)) * 0.2,
+        ang_vel=jax.random.normal(ks[3], (3, n)) * 0.2,
+        dof_pos=jax.random.normal(ks[4], (ndof, n)) * 0.3,
+        dof_vel=jax.random.normal(ks[5], (ndof, n)) * 1.0,
+    )
+    dr = phys.DomainRandParams(
+        friction=jnp.ones(n), added_mass=jnp.zeros(n),
+        com_offset=jnp.zeros((3, n)),
+        kp_mult=jnp.ones((ndof, n)), kd_mult=jnp.ones((ndof, n)),
+    )
+    actions = jax.random.normal(jax.random.fold_in(key, 7), (ndof, n))
 
     monkeypatch.setenv("LGC_FUSED_KERNEL", "0")
     ref_state, ref_info, _ = phys.control_step(
