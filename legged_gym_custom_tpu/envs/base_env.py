@@ -897,26 +897,19 @@ class LeggedEnv:
         max_x = jnp.where(reset_buf, ph.base_pos[:, 0], max_x)
         stall_time = jnp.where(reset_buf, 0.0, stall_time)
 
-        # episode logging extras (go2.py:245-263), branchless means
-        n_reset = jnp.sum(reset_buf)
-        denom = jnp.maximum(n_reset, 1)
-        ep_means = {
-            "rew_" + nm: jnp.sum(jnp.where(reset_buf, episode_sums[:, i], 0.0))
-            / denom / self.max_episode_length_s
-            for i, nm in enumerate(self.episode_sum_names)
-        }
+        # Episode logging extras (go2.py:245-263) — returned as PER-ENV
+        # contributions, NOT batch scalars: any jnp.sum over the sharded env
+        # axis here would be an all-reduce inside the rollout scan (2
+        # collectives x T steps per iteration on the compiled sharded HLO,
+        # scripts/comm_budget.py).  The runner accumulates these in its scan
+        # carry (elementwise, device-local) and reduces ONCE per iteration.
+        episode_contrib = jnp.where(rmask, episode_sums, 0.0)  # (B, nterms)
         episode_sums = jnp.where(rmask, 0.0, episode_sums)
 
         info_out: Dict[str, Any] = {
             "time_outs": time_out_buf,
-            "n_resets": n_reset,
-            "episode": ep_means,
+            "episode_contrib": episode_contrib,
         }
-        if cfg.terrain.curriculum:
-            info_out["episode"]["terrain_level"] = jnp.mean(levels.astype(jnp.float32))
-        if cfg.commands.curriculum:
-            info_out["episode"]["max_command_x"] = command_ranges[0, 1]
-            info_out["episode"]["min_command_x"] = command_ranges[0, 0]
 
         # ---- observations ----
         new_state = EnvState(

@@ -120,8 +120,17 @@ class OnPolicyRunner:
 
         def rollout(ts: TrainState, env_state, obs, key, cur_rew, cur_len,
                     adaptation_mode: bool):
+            B = env.num_envs
+            nterms = len(env.episode_sum_names)
+            acc0 = dict(
+                ep=jnp.zeros((B, nterms)),
+                fin_rew=jnp.zeros(B),
+                fin_len=jnp.zeros(B, jnp.int32),
+                fin_count=jnp.zeros(B, jnp.int32),
+            )
+
             def body(carry, _):
-                env_state, obs, key, cur_rew, cur_len = carry
+                env_state, obs, key, cur_rew, cur_len, acc = carry
                 key, k_act = jax.random.split(key)
                 actions, log_prob, mu, sigma, values = ppo_lib.policy_act(
                     nets, ts.params, obs, k_act, adaptation_mode
@@ -145,50 +154,71 @@ class OnPolicyRunner:
                     mu=mu,
                     sigma=sigma,
                 )
-                # on-device episode bookkeeping (reference on_policy_runner.py
+                # On-device episode bookkeeping (reference on_policy_runner.py
                 # :163-171's cur_reward_sum/rewbuffer, without shipping the
-                # (T, B) rewards/dones arrays to the host — SURVEY §2.5(d))
+                # (T, B) rewards/dones arrays to the host — SURVEY §2.5(d)).
+                # All accumulation is PER-ENV in the carry (elementwise on the
+                # sharded batch axis): a batch-sum here would put an
+                # all-reduce inside every scan step of the sharded HLO
+                # (scripts/comm_budget.py); the single reduction happens once
+                # after the scan.
                 cur_rew = cur_rew + rewards  # raw rewards, not bootstrapped
                 cur_len = cur_len + 1
                 fin = dones > 0
-                step_log = dict(
-                    episode=info["episode"],
-                    n_resets=info["n_resets"],
-                    fin_rew_sum=jnp.sum(jnp.where(fin, cur_rew, 0.0)),
-                    fin_len_sum=jnp.sum(jnp.where(fin, cur_len, 0)),
-                    fin_count=jnp.sum(fin),
+                acc = dict(
+                    ep=acc["ep"] + info["episode_contrib"],
+                    fin_rew=acc["fin_rew"] + jnp.where(fin, cur_rew, 0.0),
+                    fin_len=acc["fin_len"] + jnp.where(fin, cur_len, 0),
+                    fin_count=acc["fin_count"] + fin.astype(jnp.int32),
                 )
                 cur_rew = jnp.where(fin, 0.0, cur_rew)
                 cur_len = jnp.where(fin, 0, cur_len)
-                return (next_state, next_obs, key, cur_rew, cur_len), (tr, step_log)
+                return (next_state, next_obs, key, cur_rew, cur_len, acc), tr
 
-            (env_state, obs, key, cur_rew, cur_len), (traj, logs) = jax.lax.scan(
-                body, (env_state, obs, key, cur_rew, cur_len), None, length=T
+            (env_state, obs, key, cur_rew, cur_len, acc), traj = jax.lax.scan(
+                body, (env_state, obs, key, cur_rew, cur_len, acc0), None,
+                length=T,
             )
-            return env_state, obs, traj, logs, cur_rew, cur_len
+            return env_state, obs, traj, acc, cur_rew, cur_len
 
         def collect_phase(ts, env_state, obs, key, cur_rew, cur_len,
                           adaptation_mode: bool):
             """Rollout + GAE (the reference's 'collection' half,
             on_policy_runner.py:149-181)."""
-            env_state, obs, traj, logs, cur_rew, cur_len = rollout(
+            env_state, obs, traj, acc, cur_rew, cur_len = rollout(
                 ts, env_state, obs, key, cur_rew, cur_len, adaptation_mode
             )
             last_values = nets.value(ts.params, obs.critic)
             returns, advantages = ppo_lib.compute_gae(
                 traj, last_values, cfg.gamma, cfg.lam
             )
-            # reduce the per-step episode scalars here so the host reads O(1)
-            # numbers per iteration instead of (T,)-arrays; the episode dict
-            # keeps the same step-mean semantics _log previously computed on
-            # the host (reference on_policy_runner.py:205-217)
+            # The one cross-shard reduction of the episode stats.  Episode
+            # means are now episode-weighted over the whole iteration
+            # (sum of per-episode sums / total finished episodes) — the
+            # reference's deque-of-episodes semantics — rather than the
+            # round-4 mean-of-per-step-means.
+            n_resets = jnp.sum(acc["fin_count"]).astype(jnp.float32)
+            denom = jnp.maximum(n_resets, 1.0)
+            ep = {
+                "rew_" + nm: jnp.sum(acc["ep"][:, i]) / denom
+                / env.max_episode_length_s
+                for i, nm in enumerate(env.episode_sum_names)
+            }
+            # curriculum telemetry from the post-rollout state (was a
+            # per-step batch-mean inside env.step)
+            if env.cfg.terrain.curriculum:
+                ep["terrain_level"] = jnp.mean(
+                    env_state.terrain_levels.astype(jnp.float32)
+                )
+            if env.cfg.commands.curriculum:
+                ep["max_command_x"] = env_state.command_ranges[0, 1]
+                ep["min_command_x"] = env_state.command_ranges[0, 0]
             logs = dict(
-                logs,
-                episode=jax.tree.map(jnp.mean, logs["episode"]),
-                n_resets=jnp.sum(logs["n_resets"]),
-                fin_rew_sum=jnp.sum(logs["fin_rew_sum"]),
-                fin_len_sum=jnp.sum(logs["fin_len_sum"]),
-                fin_count=jnp.sum(logs["fin_count"]),
+                episode=ep,
+                n_resets=n_resets,
+                fin_rew_sum=jnp.sum(acc["fin_rew"]),
+                fin_len_sum=jnp.sum(acc["fin_len"]),
+                fin_count=jnp.sum(acc["fin_count"]),
             )
             return env_state, obs, traj, returns, advantages, logs, cur_rew, cur_len
 

@@ -46,17 +46,26 @@ def _shape_bytes(shape_str: str) -> int:
 
 def analyze_hlo(hlo: str):
     """Collect collectives per enclosing computation, and mark which
-    computations are while-loop bodies (executed per loop iteration)."""
-    # map computation name -> list of (op kind, bytes, op name)
+    computations are while-loop bodies (executed per loop iteration).
+
+    Computations in HLO text start at column 0 (`%name (...) -> ... {` or
+    `ENTRY ...`) and close with a column-0 `}`; op lines are indented.
+    Reducer computations (`to_apply=`) are separate top-level computations
+    containing no collectives, so plain header tracking is sound once only
+    column-0 headers switch the current computation."""
     comps: dict[str, list] = {}
     cur = None
     loop_bodies = set()
     for line in hlo.splitlines():
-        mcomp = re.match(r"\s*(?:ENTRY\s+)?%?([\w\.\-]+)\s+\([^)]*\)\s*->", line)
-        if mcomp and ("{" in line or line.rstrip().endswith("{")):
-            cur = mcomp.group(1)
-            comps.setdefault(cur, [])
-        mwhile = re.search(r"while\(.*\).*body=%?([\w\.\-]+)", line)
+        if line and not line[0].isspace():
+            mcomp = re.match(r"(?:ENTRY\s+)?%?([\w\.\-]+)\s*(?:\([^)]*\))?.*\{", line)
+            if mcomp:
+                cur = mcomp.group(1)
+                comps.setdefault(cur, [])
+                continue
+        # the while op's result type is often a long tuple (with spaces), so
+        # anchor only on the op + its body= attribute
+        mwhile = re.search(r"\bwhile\(.*body=%?([\w\.\-]+)", line)
         if mwhile:
             loop_bodies.add(mwhile.group(1))
         for kind in _COLLECTIVES:
@@ -71,18 +80,18 @@ def analyze_hlo(hlo: str):
     return comps, loop_bodies
 
 
-def summarize(hlo: str, loop_trip_hint: dict | None = None):
+def summarize(hlo: str, loop_trips: int = 1):
+    """`loop_trips`: iteration count of the phase's dominant while loop (the
+    rollout scan / the epoch x minibatch scan) — applied to every collective
+    found inside ANY while body (each phase has exactly one loop that
+    matters; a finer per-loop attribution is not needed for a budget)."""
     comps, loop_bodies = analyze_hlo(hlo)
     rows = []
     for comp, ops in comps.items():
         if not ops:
             continue
         in_loop = comp in loop_bodies
-        trips = 1
-        if in_loop and loop_trip_hint:
-            for key, n in loop_trip_hint.items():
-                if key in comp:
-                    trips = n
+        trips = loop_trips if in_loop else 1
         for kind, nbytes, name in ops:
             rows.append({
                 "computation": comp, "in_loop_body": in_loop,
@@ -140,8 +149,8 @@ def main():
     alg = train_cfg.algorithm
     epochs = getattr(alg, "num_learning_epochs", 1)
     mbs = getattr(alg, "num_mini_batches", 1)
-    collect = summarize(hlo_collect, {"while": T})
-    update = summarize(hlo_update, {"while": epochs * mbs})
+    collect = summarize(hlo_collect, T)
+    update = summarize(hlo_update, epochs * mbs)
     result = {
         "task": args.task,
         "num_envs": args.num_envs,

@@ -125,7 +125,9 @@ def test_parkour_env_builds():
     for i in range(3):
         state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
     assert np.isfinite(np.asarray(obs.obs)).all()
-    assert "terrain_level" in info["episode"]
+    # per-env episode contributions (batch reductions moved to the runner's
+    # post-scan reduce — scripts/comm_budget.py receipts)
+    assert info["episode_contrib"].shape == (2, len(env.episode_sum_names))
 
 
 def test_config_instances_isolated():
