@@ -4,7 +4,7 @@ from legged_gym_custom_tpu.utils.task_registry import task_registry
 from .base_env import EnvState, LeggedEnv, Obs
 from .base_config import LeggedRobotCfg, LeggedRobotCfgPPO
 from .go2_env import Go2Env
-from .go2_config import Go2Cfg, Go2CfgPPO
+from .go2_config import Go2Cfg, Go2CfgPPO, Go2StictionCfg, Go2StictionCfgPPO
 from .go2_parkour_config import (
     Go2ParkourCfg,
     Go2ParkourCfgPPO,
@@ -18,9 +18,12 @@ from .go2_parkour_config import (
     Go2ParkourCommitCfgPPO,
     Go2ParkourGapCommitCfg,
     Go2ParkourGapCommitCfgPPO,
+    Go2ParkourCliffCfg,
+    Go2ParkourCliffCfgPPO,
 )
 
 task_registry.register("go2", Go2Env, Go2Cfg, Go2CfgPPO)
+task_registry.register("go2_stiction", Go2Env, Go2StictionCfg, Go2StictionCfgPPO)
 task_registry.register("go2_parkour", Go2Env, Go2ParkourCfg, Go2ParkourCfgPPO)
 task_registry.register(
     "go2_parkour_finetune", Go2Env, Go2ParkourFinetuneCfg, Go2ParkourFinetuneCfgPPO
@@ -37,6 +40,9 @@ task_registry.register(
 task_registry.register(
     "go2_parkour_gap_commit", Go2Env, Go2ParkourGapCommitCfg,
     Go2ParkourGapCommitCfgPPO,
+)
+task_registry.register(
+    "go2_parkour_cliff", Go2Env, Go2ParkourCliffCfg, Go2ParkourCliffCfgPPO
 )
 
 

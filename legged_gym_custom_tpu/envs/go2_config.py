@@ -185,3 +185,20 @@ class Go2CfgPPO(LeggedRobotCfgPPO):
         run_name = "go2_base_policy"
         experiment_name = "go2"
         resume = False
+
+
+class Go2StictionCfg(Go2Cfg):
+    """Flat go2 on the implicit-stiction plant (round 5): frictionloss as a
+    velocity-space Coulomb clamp with true holding torque at rest (engine
+    `frictionloss_implicit`; parity vs MuJoCo in tests/test_sim_parity.py)
+    instead of the tanh surrogate.  Registered as a separate task so the
+    committed round-4 artifacts keep evaluating on the plant they were
+    trained on."""
+
+    class sim(Go2Cfg.sim):
+        joint_frictionloss_implicit = True
+
+
+class Go2StictionCfgPPO(Go2CfgPPO):
+    class runner(Go2CfgPPO.runner):
+        run_name = "go2_stiction"

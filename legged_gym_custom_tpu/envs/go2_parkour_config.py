@@ -328,3 +328,41 @@ class Go2ParkourGapCommitCfg(Go2ParkourCommitCfg):
 class Go2ParkourGapCommitCfgPPO(Go2ParkourCommitCfgPPO):
     class runner(Go2ParkourCommitCfgPPO.runner):
         run_name = "parkour_gap_commit"
+
+
+class Go2ParkourCliffCfg(Go2ParkourCommitCfg):
+    """Commit stage, rung 3: the CLIFF curriculum.
+
+    Probing the gap_commit policy found a razor-sharp scandot-driven width
+    cliff: deterministic crossings of 3-4 gaps at 0.15 m (98% survival),
+    hard refusal at 0.20 m, at any commanded speed — 0.15 m is within
+    stride reach, 0.20 m is perceived as a jump and never attempted.  A
+    coarse curriculum (the reference's 0.1-per-row) jumps straight over the
+    cliff; this rung ladders gap width in 0.01 m steps right at it, with
+    per-env adaptive difficulty (terrain-curriculum promote on distance) so
+    each robot trains at ITS commitment boundary.  Stall termination stays
+    on: balking at the current width demotes AND dies."""
+
+    class terrain(Go2ParkourCommitCfg.terrain):
+        parkour = True
+        curriculum = True
+        num_rows = 10
+        num_cols = 20
+        terrain_proportions = [1.0, 0.0]  # all gap courses
+        parkour_row_widths = [0.15, 0.16, 0.17, 0.18, 0.19,
+                              0.20, 0.22, 0.24, 0.27, 0.30]
+        promote_threshold = 0.40   # ~11 m = 2-3 gaps crossed at this width
+        demote_threshold = 0.30
+        max_init_terrain_level = 1
+
+    class init_state(Go2ParkourCommitCfg.init_state):
+        # spawn at the course start: the curriculum's promote metric is
+        # distance from the env origin, so slot offsets would corrupt it
+        rand_x_offsets = None
+        rand_x_jitter = (0.0, 0.0)
+        rand_vx_range = None
+
+
+class Go2ParkourCliffCfgPPO(Go2ParkourCommitCfgPPO):
+    class runner(Go2ParkourCommitCfgPPO.runner):
+        run_name = "parkour_cliff"

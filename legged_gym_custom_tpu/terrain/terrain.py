@@ -103,9 +103,14 @@ class Terrain:
                 self.add_terrain_to_map(self.make_terrain(choice, difficulty), i, j)
 
     def parkour_curriculum(self):
+        # Optional fine-grained difficulty ladder: cfg.parkour_row_widths
+        # maps row -> gap width directly (the round-5 cliff curriculum needs
+        # sub-0.05 m steps around the 0.15→0.2 m commitment cliff); default
+        # is the reference's coarse (i+1)/10 (reference terrain.py:103).
+        widths = getattr(self.cfg, "parkour_row_widths", None)
         for j in range(self.cfg.num_cols):
             for i in range(self.cfg.num_rows):
-                difficulty = (i + 1) / 10
+                difficulty = widths[i] if widths else (i + 1) / 10
                 choice = j / self.cfg.num_cols + 0.001
                 terrain = self.make_parkour_terrain(choice, difficulty)
                 self.add_parkour_terrain_to_map(terrain, i, j)
