@@ -242,11 +242,26 @@ def main():
                     "(2 x fps(256 envs, 1 proc x 1 pinned core)); gloo "
                     "cross-process collectives",
             "vs_baseline": round(mp["efficiency"] / 0.80, 4),
-            "baseline_note": "north-star target >=0.80 at >=2 hosts; this is "
-                             "the confound-free local measurement (real "
-                             "multi-host hardware unavailable)",
+            "baseline_note": "north-star target >=0.80 at >=2 hosts; "
+                             "STRONG-scaling ratio, still carries the "
+                             "single-machine cache/bandwidth confound (a "
+                             "256-env XLA:CPU step on one core is >2x a "
+                             "128-env step) — see the sync-only metric next",
             "detail": mp,
         })
+        if mp.get("sync_only_efficiency") is not None:
+            emit({
+                "metric": "dcn_sync_only_efficiency_2proc",
+                "value": mp["sync_only_efficiency"],
+                "unit": "fps(2 procs) / (2 x fps(1 proc at the per-proc "
+                        "128-env share)): identical per-process work, so "
+                        "the ratio is cross-process collective+barrier "
+                        "overhead ONLY (the quantity that transfers to "
+                        "real multi-chip; comm model in "
+                        "docs/architecture.md predicts ~0.99 on ICI)",
+                "vs_baseline": round(mp["sync_only_efficiency"] / 0.80, 4),
+                "baseline_note": "north-star target >=0.80 on real hardware",
+            })
     except Exception as e:  # pragma: no cover
         print(f"# multiprocess bench failed: {e}", file=sys.stderr)
 

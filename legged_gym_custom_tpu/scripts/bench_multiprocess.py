@@ -95,17 +95,30 @@ def run_bench(procs: int = 2, total_envs: int = 64, iters: int = 3,
     r1 = _run(1, total_envs, iters, warmup)
     rn = _run(procs, total_envs, iters, warmup)
     eff = rn["fps"] / (procs * r1["fps"])
+    # Sync-only isolation: a 1-process run with the PER-PROCESS env share on
+    # one pinned core does exactly the work each scaled process does, minus
+    # the cross-process collectives and barriers.  fps_N / (N * fps_half) =
+    # dt_half / dt_N is therefore the collective+sync overhead alone — free
+    # of the strong-scaling cache/bandwidth confounds that dominate the
+    # plain ratio on a single machine (a 256-env XLA:CPU step on one core is
+    # more than 2x a 128-env step: working-set effects).
+    r_half = _run(1, max(total_envs // procs, 1), iters, warmup)
+    sync_eff = rn["fps"] / (procs * r_half["fps"])
     return {
         "procs": procs,
         "total_envs": total_envs,
         "fps_1proc_1core": r1["fps"],
         f"fps_{procs}proc_{procs}core": rn["fps"],
         "efficiency": round(eff, 4),
+        "fps_1proc_half_batch": r_half["fps"],
+        "sync_only_efficiency": round(sync_eff, 4),
         # phase split (last iteration): where the scaling loss lives —
         # collection (env scan, per-step scalar collectives) vs learning
         # (minibatched update, full-gradient pmean per minibatch)
         "collection_s_1proc": r1.get("collection_s"),
         "learning_s_1proc": r1.get("learning_s"),
+        "collection_s_1proc_half": r_half.get("collection_s"),
+        "learning_s_1proc_half": r_half.get("learning_s"),
         f"collection_s_{procs}proc": rn.get("collection_s"),
         f"learning_s_{procs}proc": rn.get("learning_s"),
         "taskset": shutil.which("taskset") is not None,
