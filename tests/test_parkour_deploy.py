@@ -187,10 +187,12 @@ _r5_ready = all(os.path.exists(p) for p in (R5BUNDLE, R5SCENE, R5CFG))
 
 @needs_artifacts
 @pytest.mark.xfail(
-    condition=not _r5_ready,
-    reason="round-5 commit-stage artifact not yet landed; the bar exists "
-           "before the policy clears it (VERDICT r4 next-round #2)",
     strict=False,
+    reason="the >=0.25 m oracle bar stands un-met: the round-5 lineage "
+           "crosses 0.15 m gap courses in-engine (median 5/6 gaps, 100% of "
+           "envs >=3 — eval_gaps015.json) but still refuses >=0.2 m, and "
+           "its flight-rich bound transfers worse to MuJoCo than the r4 "
+           "walk (docs/architecture.md round-5 status)",
 )
 def test_parkour_gap_crossings_in_mujoco_oracle():
     """THE flagship acceptance bar (VERDICT r4 'Done' criterion): in the
@@ -252,6 +254,78 @@ def test_parkour_gap_crossings_in_mujoco_oracle():
         f"far edges {far_edges.tolist()})"
     )
     assert flight_ticks >= 3, f"no flight phase (best {flight_ticks:.1f} ticks)"
+
+
+R5CKPT = os.path.join(R5ART, "model_final.ckpt")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(R5CKPT), reason="round-5 artifact unavailable"
+)
+def test_r5_policy_crosses_gap_course_in_engine():
+    """Round-5 capability pin: the committed cliff-stage checkpoint crosses
+    >=3 of the 0.15 m gaps on the 6-gap course DETERMINISTICALLY, with
+    flight phases and no termination (the 128-env eval receipt
+    eval_gaps015.json records median 5/6 crossed, 100% of envs >=3; this CI
+    version rolls one env).  The >=0.25 m bar remains xfail above."""
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_custom_tpu.envs import task_registry
+    from legged_gym_custom_tpu.rl.runner import OnPolicyRunner
+
+    env_cfg, train_cfg = task_registry.get_cfgs("go2_parkour_cliff")
+    env_cfg.env.num_envs = 1
+    env_cfg.terrain.num_rows = 1
+    env_cfg.terrain.num_cols = 1
+    env_cfg.terrain.curriculum = False
+    n_gaps = 6
+    env_cfg.terrain.parkour_kwargs = dict(
+        env_cfg.terrain.parkour_kwargs,
+        x_positions=[5.0 + 3.5 * k for k in range(n_gaps)],
+        y_positions=[0.0] * n_gaps,
+        obstacle_heights=[-2.0] * n_gaps,
+        obstacle_lengths=[0.15] * n_gaps,
+    )
+    env_cfg.init_state.rand_x_offsets = None
+    env_cfg.init_state.rand_vx_range = None
+    env_cfg.termination.stall_time_s = 0.0
+    env_cfg.noise.add_noise = False
+    for k in [
+        "randomize_friction", "push_robots", "randomize_base_mass",
+        "randomize_center_of_mass", "randomize_kp_kd",
+    ]:
+        setattr(env_cfg.domain_rand, k, False)
+    env, _ = task_registry.make_env(
+        name="go2_parkour_cliff", args=None, env_cfg=env_cfg
+    )
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None, use_mesh=False)
+    runner.load(R5CKPT)
+    policy = runner.get_inference_policy()
+
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    cmd = jnp.array([[1.2, 0.0, 0.0, 0.0]], jnp.float32)
+    best_x, died = 0.0, False
+    air_run, max_air = 0, 0
+    for i in range(650):
+        state = state.replace(commands=cmd)
+        actions = policy(obs, adaptation_mode=True)
+        state, obs, rew, done, info = step(state, actions)
+        best_x = max(best_x, float(state.max_x[0] - state.env_origins[0, 0]))
+        if bool(np.asarray(state.last_contacts[0]).any()):
+            air_run = 0
+        else:
+            air_run += 1
+            max_air = max(max_air, air_run)
+        if bool(done[0]):
+            died = True
+            break
+    far_edges = [5.15 + 3.5 * k for k in range(n_gaps)]
+    crossed = sum(best_x > e + 0.05 for e in far_edges)
+    assert not died, f"terminated at x={best_x:.2f}"
+    assert crossed >= 3, f"crossed {crossed} gaps (best_x={best_x:.2f})"
+    assert max_air >= 3, f"no flight phase (max airborne {max_air})"
 
 
 @needs_artifacts
