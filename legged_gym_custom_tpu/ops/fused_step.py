@@ -317,10 +317,14 @@ def build_spec(ma, params, pd, dof_limits, hf_K: int = 0,
         if params.dof_frictionloss is not None
         else (0.0,) * (len(ma.parent) - 1),
         fl_eps=float(params.frictionloss_vel_eps),
+        # numpy arithmetic, NOT jnp: inside a jit trace, jnp ops on concrete
+        # closure arrays produce tracers, which would (correctly) trip the
+        # traced-params fallback and silently lose the kernel for every
+        # implicit-stiction task
         fl_dqd=_t(
-            params.dof_frictionloss
+            np.asarray(params.dof_frictionloss)
             * (params.dt / params.substeps)
-            / params.dof_meff
+            / np.asarray(params.dof_meff)
         )
         if (
             params.frictionloss_implicit
