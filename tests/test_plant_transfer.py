@@ -63,3 +63,38 @@ def test_policy_transfers_at_speed_to_mujoco():
     assert speed > 0.56, f"transfer gap: {speed:.3f} m/s vs 0.8 commanded"
     # heading discipline: lateral drift stays small
     assert abs(qpos[-1, 1] - qpos[0, 1]) < 1.0
+
+
+STICTION_ART = os.path.join(REPO, "trained", "go2_stiction_r5")
+STICTION_BUNDLE = os.path.join(STICTION_ART, "policy_bundle.npz")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(STICTION_BUNDLE),
+    reason="stiction artifacts unavailable",
+)
+def test_stiction_policy_transfers_to_mujoco():
+    """Round-5: the flat policy retrained on the IMPLICIT-STICTION plant
+    (true Coulomb holding torque — engine frictionloss_implicit; MuJoCo
+    parity in tests/test_sim_parity.py) keeps command transfer through the
+    oracle.  Measured at commit time: 0.666 m/s on a 0.8 m/s command (83%;
+    the tanh-plant r4 policy measures 96% — the stiction plant's gain is
+    rest-state physics fidelity, not top-speed transfer).  Bar: the same
+    >=70% the r4 acceptance uses."""
+    pytest.importorskip("mujoco")
+    from legged_gym_custom_tpu.deploy.config_parser import ConfigParser
+    from legged_gym_custom_tpu.deploy import mujoco_runner
+
+    cfg = ConfigParser(
+        os.path.join(REPO, "deploy_configs", "go2_tpu.yaml"), root_dir=REPO
+    )
+    cmd = np.array([0.8, 0.0, 0.0], np.float32)
+    traj = mujoco_runner.run(
+        cfg, STICTION_BUNDLE, duration_s=8.0, viewer=False, realtime=False,
+        command_source=lambda: cmd,
+    )
+    qpos = traj["qpos"]
+    assert qpos[:, 2].min() > 0.15, f"fell: min z={qpos[:, 2].min():.3f}"
+    speed = (qpos[-1, 0] - qpos[0, 0]) / 8.0
+    assert speed > 0.56, f"transfer gap: {speed:.3f} m/s vs 0.8 commanded"
+    assert abs(qpos[-1, 1] - qpos[0, 1]) < 1.0
