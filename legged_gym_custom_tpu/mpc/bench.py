@@ -142,7 +142,9 @@ def _device_module_durations_ms(trace_dir: str):
             )
     if not by_module:
         return None
-    name = max(by_module, key=lambda k: len(by_module[k]))
+    # the benchmarked solve dominates total device time; helper modules
+    # (rng split, unstack) run as often but are microseconds each
+    name = max(by_module, key=lambda k: sum(by_module[k]))
     return by_module[name]
 
 
@@ -178,16 +180,26 @@ def run_closed_loop(batch=8, samples=32, horizon=10, ticks=1000, warmup=10):
         a, ms, cost = solve(ms, state.physics, state.dr, state.commands, k)
     jax.block_until_ready(a)
 
-    trace_dir = tempfile.mkdtemp(prefix="lgc_mpc_cl_trace_")
+    # wall timing over the full sustained run (no profiler overhead)
     wall = []
+    for _ in range(ticks):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        a, ms, cost = solve(ms, state.physics, state.dr, state.commands, k)
+        jax.block_until_ready(a)
+        wall.append(time.perf_counter() - t0)
+
+    # device per-dispatch times from a profiled window (large traces can
+    # fail the xplane->trace_viewer conversion, so the window is capped;
+    # every tick in it is still one real dispatch)
+    prof_ticks = min(ticks, 300)
+    trace_dir = tempfile.mkdtemp(prefix="lgc_mpc_cl_trace_")
     try:
         with jax.profiler.trace(trace_dir):
-            for _ in range(ticks):
+            for _ in range(prof_ticks):
                 key, k = jax.random.split(key)
-                t0 = time.perf_counter()
                 a, ms, cost = solve(ms, state.physics, state.dr, state.commands, k)
                 jax.block_until_ready(a)
-                wall.append(time.perf_counter() - t0)
         device_ms = _device_module_durations_ms(trace_dir)
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
@@ -213,7 +225,7 @@ def run_closed_loop(batch=8, samples=32, horizon=10, ticks=1000, warmup=10):
         "tunnel_rtt_p50_ms": round(float(np.percentile(rtt, 50)), 2),
         "tunnel_rtt_p99_ms": round(float(np.percentile(rtt, 99)), 2),
     }
-    if device_ms is not None and len(device_ms) >= ticks // 2:
+    if device_ms is not None and len(device_ms) >= prof_ticks // 2:
         d = np.asarray(device_ms)
         out["value"] = round(float(np.percentile(d, 99)), 3)
         out["device_p50_ms"] = round(float(np.percentile(d, 50)), 3)

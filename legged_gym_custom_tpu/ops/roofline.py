@@ -152,36 +152,45 @@ def _timed_chain(fn, x, repeats=3):
     return best
 
 
-def measure_vpu_peak_gflops(size_mb: float = 4.0, iters: int = 4096) -> float:
-    """Sustained f32 elementwise FMA rate: a serial scan of x*a+b on a
-    VMEM-sized array.  2 flops/element/iteration."""
+def measure_vpu_peak_gflops(size_mb: float = 4.0, iters: int = 512,
+                            inner: int = 32) -> float:
+    """Sustained f32 elementwise FMA rate: a serial scan whose body chains
+    `inner` dependent FMAs per element, so per-step memory traffic is
+    amortized 'inner'-fold and the loop measures ALU issue rate, not the
+    scan carry's round-trip (a single-FMA body measures ~3x low)."""
     n = int(size_mb * 1e6 / 4) // 1024 * 1024
     x = jnp.ones((8, n // 8), jnp.float32)
 
     def fn(x):
         def body(c, _):
-            return c * 1.0000001 + 1e-7, None
+            for _i in range(inner):
+                c = c * 1.0000001 + 1e-7
+            return c, None
         y, _ = lax.scan(body, x, None, length=iters)
         return y
 
     t = _timed_chain(fn, x)
-    return 2.0 * x.size * iters / t / 1e9
+    return 2.0 * x.size * iters * inner / t / 1e9
 
 
-def measure_trans_rate_gops(size_mb: float = 4.0, iters: int = 512) -> float:
+def measure_trans_rate_gops(size_mb: float = 4.0, iters: int = 64,
+                            inner: int = 8) -> float:
     """Sustained tanh rate (the kernel's transcendentals: tanh friction
-    smoothing, quaternion-adjacent sqrt/rsqrt, scan-free)."""
+    smoothing, quaternion-adjacent sqrt/rsqrt), inner-chained like the FMA
+    bench."""
     n = int(size_mb * 1e6 / 4) // 1024 * 1024
     x = jnp.full((8, n // 8), 0.5, jnp.float32)
 
     def fn(x):
         def body(c, _):
-            return jnp.tanh(c) + 1.0000001, None
+            for _i in range(inner):
+                c = jnp.tanh(c) + 1.0000001
+            return c, None
         y, _ = lax.scan(body, x, None, length=iters)
         return y
 
     t = _timed_chain(fn, x)
-    return x.size * iters / t / 1e9
+    return x.size * iters * inner / t / 1e9
 
 
 def measure_hbm_bw_gbps(size_mb: float = 256.0, iters: int = 32) -> float:
