@@ -37,6 +37,9 @@ def get_args(argv=None):
     p.add_argument("--command_vx", type=float, default=1.2)
     p.add_argument("--stochastic", action="store_true")
     p.add_argument("--out", default=None)
+    p.add_argument("--ckpt_path", default=None,
+                   help="load this checkpoint path directly (bypasses the "
+                        "logs-dir run/checkpoint resolution)")
     return p.parse_args(argv)
 
 
@@ -90,14 +93,17 @@ def main(args):
 
     from legged_gym_custom_tpu import LEGGED_GYM_TPU_ROOT_DIR
 
-    log_root = os.path.join(
-        LEGGED_GYM_TPU_ROOT_DIR, "logs", train_cfg.runner.experiment_name
-    )
-    path = get_load_path(
-        log_root, load_run=train_cfg.runner.load_run or -1,
-        checkpoint=train_cfg.runner.checkpoint
-        if train_cfg.runner.checkpoint is not None else -1,
-    )
+    if args.ckpt_path:
+        path = args.ckpt_path
+    else:
+        log_root = os.path.join(
+            LEGGED_GYM_TPU_ROOT_DIR, "logs", train_cfg.runner.experiment_name
+        )
+        path = get_load_path(
+            log_root, load_run=train_cfg.runner.load_run or -1,
+            checkpoint=train_cfg.runner.checkpoint
+            if train_cfg.runner.checkpoint is not None else -1,
+        )
     runner = OnPolicyRunner(env, train_cfg, log_dir=None, use_mesh=False)
     runner.load(path)
     print(f"loaded {path}")
