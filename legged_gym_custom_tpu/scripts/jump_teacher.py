@@ -109,7 +109,7 @@ def param_grid():
         extend_rear_gain=[1.0, 1.5], extend_calf=[2.4, 3.0],
         tuck_steps=[4], tuck_thigh=[1.0], tuck_calf=[1.2],
         land_steps=[6], land_thigh=[0.2], land_calf=[0.6],
-        trigger_d=[0.2, 0.3, 0.4], trigger_min_vx=[0.8],
+        trigger_d=[0.25, 0.4, 0.55], trigger_min_vx=[0.8],
     )
     keys = list(grid)
     combos = list(itertools.product(*(grid[k] for k in keys)))
@@ -144,7 +144,32 @@ def build_env(task, num_envs, width, n_gaps=6):
     ]:
         setattr(env_cfg.domain_rand, k, False)
     env, _ = task_registry.make_env(name=task, args=None, env_cfg=env_cfg)
-    near = np.asarray(xs, np.float32)
+    # measure the TRUE gap near-edges from the generated heightfield: the
+    # generator centers each obstacle on x_position (and bilinear sampling
+    # smooths the lip), so the config coordinates are ~width/2 + one cell
+    # early.  Probes 1-4 of the round-5 jump-teacher campaign all timed the
+    # launch off config coordinates and fired with the front feet already
+    # over the void.
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_custom_tpu.physics.heightfield import height_bilinear
+
+    state0, _ = env.reset_all(jax.random.PRNGKey(0))
+    ox, oy = np.asarray(state0.env_origins[0, :2])
+    xq = np.arange(3.0, xs[-1] + 3.0, 0.02, dtype=np.float32)
+    hq = np.asarray(height_bilinear(
+        env.hf, jnp.asarray(ox + xq), jnp.full(xq.shape, oy, np.float32)
+    ))
+    drop = (hq[1:] < -0.5) & (hq[:-1] >= -0.5)
+    near = xq[1:][drop].astype(np.float32)
+    if len(near) != n_gaps:
+        print(f"# WARNING: measured {len(near)} gap edges, expected "
+              f"{n_gaps}; falling back to config coords")
+        near = np.asarray(xs, np.float32)
+    else:
+        print(f"# measured gap near-edges: {np.round(near, 2).tolist()} "
+              f"(config said {xs})")
     return env, train_cfg, env_cfg, near
 
 
@@ -203,11 +228,13 @@ def rollout(env, train_cfg, ckpt, near_edges, widths_per_env, params, steps,
         if blank_d > 0.0:
             in_window = (d_next < blank_d) & (phase == POLICY)
             if in_window.any():
-                flat = np.clip(
-                    np.asarray(state.physics.base_pos[:, 2:3]) - 0.5,
-                    -1.0, 1.0,
-                ).astype(np.float32)
                 scan_np = np.asarray(obs.scan)
+                # the per-env MINIMUM scan value is the ground reading under
+                # the robot (gap dots read higher after the -2 m drop is
+                # clipped) — broadcasting it paints the whole footprint as
+                # level ground at the robot's own height, independent of the
+                # terrain row's global z offset
+                flat = scan_np.min(axis=1, keepdims=True)
                 doctored = np.where(in_window[:, None], flat, scan_np)
                 obs_feed = obs._replace(scan=jnp.asarray(doctored))
 
@@ -225,10 +252,12 @@ def rollout(env, train_cfg, ckpt, near_edges, widths_per_env, params, steps,
         min_vx = params.get("trigger_min_vx")
         if min_vx is None:
             min_vx = np.full(B, 0.1, np.float32)
+        stance = np.asarray(state.last_contacts).any(axis=1)
         trig = (
             (phase == POLICY)
             & (d_next < params["trigger_d"])
             & (vx > min_vx)
+            & stance          # launch from stance, not mid-bound flight
             & alive
         )
         phase[trig] = CROUCH
